@@ -1,0 +1,152 @@
+"""Reference-compatible swap CLI.
+
+Flag-for-flag parity with reference inference.py:127-151
+(--G_path/--backbone/--num_blocks/--batch_size/--crop_size/--use_sr/
+--similarity_th/--source_paths/--target_faces_paths/--target_video/
+--out_video_name/--image_to_image/--target_image/--out_image_name),
+plus TPU-native extras (--arcface_path, --detector_path,
+--landmark_path, --bf16).
+
+Usage:
+    python -m ghost_tpu.cli.inference --source_paths a.jpg \
+        --target_video in.mp4 --out_video_name out.mp4
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="ghost-tpu face swap")
+    p.add_argument("--G_path", default="weights/G_unet_2blocks.pth")
+    p.add_argument("--backbone", default="unet", const="unet", nargs="?",
+                   choices=["unet", "linknet", "resnet"])
+    p.add_argument("--num_blocks", default=2, type=int)
+    p.add_argument("--batch_size", default=40, type=int)
+    p.add_argument("--crop_size", default=224, type=int)
+    p.add_argument("--use_sr", default=False, type=bool)
+    p.add_argument("--similarity_th", default=0.15, type=float)
+    p.add_argument("--source_paths", default=[], nargs="+")
+    p.add_argument("--target_faces_paths", default=[], nargs="+")
+    p.add_argument("--target_video", default="", type=str)
+    p.add_argument("--out_video_name", default="result.mp4", type=str)
+    p.add_argument("--image_to_image", default=False, type=bool)
+    p.add_argument("--target_image", default="", type=str)
+    p.add_argument("--out_image_name", default="result.png", type=str)
+    # TPU-native extras
+    p.add_argument("--arcface_path", default="weights/backbone.pth")
+    p.add_argument("--detector_path", default="", help="SCRFD weights (msgpack)")
+    p.add_argument("--landmark_path", default="", help="landmark weights (msgpack)")
+    p.add_argument("--sr_path", default="", help="SR generator weights")
+    p.add_argument("--bf16", default=True, type=bool)
+    return p
+
+
+def load_pipeline(args):
+    import jax
+    import jax.numpy as jnp
+
+    from ghost_tpu.core.precision import DEFAULT_POLICY, FULL_PRECISION
+    from ghost_tpu.convert.torch_loader import (
+        convert_aei_state_dict,
+        convert_arcface_state_dict,
+        load_torch_checkpoint,
+    )
+    from ghost_tpu.core.checkpoint import load_msgpack
+    from ghost_tpu.models.aei import AEINet
+    from ghost_tpu.models.arcface import iresnet100
+    from ghost_tpu.models.landmark import Landmark106
+    from ghost_tpu.models.scrfd import SCRFD
+    from ghost_tpu.pipeline.swap import SwapConfig, SwapPipeline
+
+    policy = DEFAULT_POLICY if args.bf16 else FULL_PRECISION
+    cfg = SwapConfig(
+        crop_size=args.crop_size,
+        similarity_th=args.similarity_th,
+        chunk_size=args.batch_size,
+        use_sr=bool(args.use_sr),
+    )
+
+    gen = AEINet(backbone=args.backbone, num_blocks=args.num_blocks, policy=policy)
+    gen_vars = jax.tree.map(
+        jnp.asarray,
+        convert_aei_state_dict(load_torch_checkpoint(args.G_path),
+                               backbone=args.backbone,
+                               num_blocks=args.num_blocks),
+    )
+    arc = iresnet100(policy=policy)
+    arc_vars = jax.tree.map(
+        jnp.asarray,
+        convert_arcface_state_dict(load_torch_checkpoint(args.arcface_path)),
+    )
+    det = SCRFD(policy=policy)
+    if args.detector_path:
+        det_vars = load_msgpack(args.detector_path)
+    else:
+        det_vars = det.init(jax.random.key(0),
+                            jnp.zeros((1, cfg.det_size, cfg.det_size, 3)))
+        print("WARNING: random detector weights (--detector_path not given)")
+    lmk = Landmark106(policy=policy)
+    if args.landmark_path:
+        lmk_vars = load_msgpack(args.landmark_path)
+    else:
+        lmk_vars = lmk.init(jax.random.key(0), jnp.zeros((1, 192, 192, 3)))
+        print("WARNING: random landmark weights (--landmark_path not given)")
+
+    sr = None
+    if cfg.use_sr:
+        from ghost_tpu.models.sr.generator import LIPSPADEGenerator
+
+        sr_mod = LIPSPADEGenerator(policy=policy)
+        if args.sr_path:
+            sr_vars = load_msgpack(args.sr_path)
+        else:
+            sr_vars = sr_mod.init(jax.random.key(0), jnp.zeros((1, 256, 256, 3)))
+            print("WARNING: random SR weights (--sr_path not given)")
+        sr = (sr_mod, sr_vars)
+
+    return SwapPipeline((det, det_vars), (arc, arc_vars), (gen, gen_vars),
+                        (lmk, lmk_vars), sr=sr, config=cfg)
+
+
+def main(argv=None):
+    from ghost_tpu.pipeline.image import read_image_rgb, write_image_rgb
+    from ghost_tpu.pipeline.video import add_audio_from_video, read_video, write_video
+
+    args = build_parser().parse_args(argv)
+    pipe = load_pipeline(args)
+
+    print("List of source paths:", args.source_paths)
+    sources = np.stack(
+        [pipe.crop_faces(read_image_rgb(p))[0][0] for p in args.source_paths]
+    )
+    targets = None
+    if args.target_faces_paths:
+        targets = np.stack(
+            [pipe.crop_faces(read_image_rgb(p))[0][0]
+             for p in args.target_faces_paths]
+        )
+
+    start = time.time()
+    if args.image_to_image:
+        frame = read_image_rgb(args.target_image)
+        result = pipe.swap_image(frame, sources, targets)
+        write_image_rgb(args.out_image_name, result)
+        print(f"Swapped Image saved with path {args.out_image_name}")
+    else:
+        frames, fps = read_video(args.target_video)
+        out = pipe.swap_video_frames(frames, sources, targets)
+        write_video(args.out_video_name, out, fps)
+        if add_audio_from_video(args.target_video, args.out_video_name):
+            print("audio remuxed")
+        print(f"Video saved with path {args.out_video_name}")
+    print("Total time: ", time.time() - start)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,76 @@
+"""Checkpointing: {params, opt_state, batch_stats, step, loss_scale}.
+
+The reference dual-writes rolling `G_latest.pth` plus immutable
+`G_{epoch}_{iter}.pth` snapshots every save_interval and does NOT save
+optimizer state (reference train.py:449-456, SURVEY.md §5). The rebuild
+keeps the rolling+immutable layout but checkpoints the FULL training
+state (params, optimizer moments, BN stats, step, loss scale) via
+orbax, so resume is exact instead of restarting Adam moments.
+
+Small single-tree artifacts (detector/landmark weights shipped with the
+framework) use flax msgpack serialization for a dependency-light path.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+from flax import serialization
+
+
+# --------------------------------------------------------- msgpack single tree
+def save_msgpack(path: str, tree: Any) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(jax.device_get(tree)))
+
+
+def load_msgpack(path: str, like: Any | None = None) -> Any:
+    with open(path, "rb") as f:
+        data = f.read()
+    if like is not None:
+        return serialization.from_bytes(like, data)
+    return serialization.msgpack_restore(data)
+
+
+# ------------------------------------------------------------- orbax train ckpt
+class CheckpointManager:
+    """Rolling 'latest' + immutable step-tagged snapshots.
+
+    save(step, state): writes `<dir>/step_{step}` and updates
+    `<dir>/latest` (orbax keeps the newest `keep` immutable snapshots).
+    """
+
+    def __init__(self, directory: str, keep: int = 5):
+        import orbax.checkpoint as ocp
+
+        self._ocp = ocp
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self.manager = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=keep, create=True, enable_async_checkpointing=False
+            ),
+        )
+
+    def save(self, step: int, state: Any) -> None:
+        self.manager.save(
+            step, args=self._ocp.args.StandardSave(jax.device_get(state))
+        )
+        self.manager.wait_until_finished()
+
+    def restore(self, step: int | None = None, like: Any | None = None) -> Any:
+        step = self.latest_step() if step is None else step
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints in {self.directory}")
+        if like is not None:
+            return self.manager.restore(
+                step, args=self._ocp.args.StandardRestore(like)
+            )
+        return self.manager.restore(step)
+
+    def latest_step(self) -> int | None:
+        return self.manager.latest_step()

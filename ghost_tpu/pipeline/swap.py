@@ -1,0 +1,318 @@
+"""End-to-end face-swap pipeline: two jitted device stages + host control.
+
+Replaces the reference's model_inference / crop_frames_and_get_transforms
+/ get_final_video chain (reference utils/inference/core.py:29-90,
+video_processing.py:111-243) whose per-frame CPU<->GPU ping-pong is the
+top perf deficiency (SURVEY.md §3.1). Here video frames move to HBM
+once per chunk and stay there:
+
+  stage A (jit): letterbox -> SCRFD -> NMS -> umeyama align -> warp
+      crops -> ArcFace embed -> cosine match vs targets
+      -> per-target kps + similarity                    [detect_match]
+  host: temporal keypoint smoothing w/ scene-cut breaks (tiny arrays)
+  stage B (jit): umeyama on smoothed kps -> warp 224 crops -> resize 256
+      -> AEI-Net swap with source embeds -> landmark net on swap ->
+      soft mask -> fused inverse-warp paste-back blend  [swap_blend]
+
+Static shapes throughout: chunk size B, target count T and face
+capacity F are compile-time constants; missing faces ride through as
+masked lanes (present=False) instead of Python branches, matching the
+reference's `present` bookkeeping (video_processing.py:174-188).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ghost_tpu.core.precision import Policy, DEFAULT_POLICY
+from ghost_tpu.models.aei import AEINet
+from ghost_tpu.models.arcface import IResNet, normalize_embedding
+from ghost_tpu.models.landmark import Landmark106, landmarks_from_crops
+from ghost_tpu.models.scrfd import SCRFD, decode_detections, preprocess_frames
+from ghost_tpu.nn.layers import resize
+from ghost_tpu.ops.mask import face_mask_batch
+from ghost_tpu.ops.umeyama import estimate_norm
+from ghost_tpu.ops.warp import warp_affine, warp_and_blend
+
+
+@dataclasses.dataclass(frozen=True)
+class SwapConfig:
+    """Knobs mirror the reference CLI (reference inference.py:127-151)."""
+
+    crop_size: int = 224
+    similarity_th: float = 0.15
+    det_thresh: float = 0.6
+    det_size: int = 640
+    max_faces: int = 8
+    chunk_size: int = 32
+    gen_size: int = 256
+    use_sr: bool = False
+    mask_params: tuple = (5.0, 5.0, 5.0, 2.0)
+
+
+class SwapPipeline:
+    """Bundles the five models + variables and compiles the two stages.
+
+    models/variables are plain (module, variables) pairs so weights can
+    come from converters or random init (benchmarks, tests).
+    """
+
+    def __init__(
+        self,
+        detector: tuple[SCRFD, Any],
+        arcface: tuple[IResNet, Any],
+        generator: tuple[AEINet, Any],
+        landmarker: tuple[Landmark106, Any],
+        sr: tuple[Any, Any] | None = None,
+        config: SwapConfig = SwapConfig(),
+    ):
+        self.det_mod, self.det_vars = detector
+        self.arc_mod, self.arc_vars = arcface
+        self.gen_mod, self.gen_vars = generator
+        self.lmk_mod, self.lmk_vars = landmarker
+        self.sr = sr
+        self.cfg = config
+        self._detect_match = jax.jit(self._detect_match_impl)
+        self._swap_blend = jax.jit(self._swap_blend_impl)
+        self._embed = jax.jit(self._embed_impl)
+
+    # ----------------------------------------------------------- embeds
+    def _embed_impl(self, crops_rgb_u8):
+        """(B,crop,crop,3) RGB [0,255] -> L2-normalized (B,512).
+
+        Matches the reference embed path: (x/255 - .5)/.5 then bilinear
+        x0.5 align_corners to 112 (reference utils/inference/core.py:44-45,
+        image_processing.py:23-48)."""
+        x = crops_rgb_u8.astype(jnp.float32) / 255.0
+        x = (x - 0.5) / 0.5
+        x = resize(x, (112, 112), method="bilinear", align_corners=True)
+        e = self.arc_mod.apply(self.arc_vars, x)
+        return normalize_embedding(e)
+
+    def embed_sources(self, source_crops_rgb: np.ndarray):
+        """Source face crops -> (T,512) embeddings (not normalized, like
+        the reference's source path at core.py:51-54 which feeds raw
+        embeddings to G)."""
+        x = jnp.asarray(source_crops_rgb).astype(jnp.float32) / 255.0
+        x = (x - 0.5) / 0.5
+        x = resize(x, (112, 112), method="bilinear", align_corners=True)
+        return self.arc_mod.apply(self.arc_vars, x)
+
+    def embed_targets(self, target_crops_rgb: np.ndarray):
+        return self._embed(jnp.asarray(target_crops_rgb))
+
+    # ----------------------------------------------------- stage A: detect
+    def _detect_match_impl(self, frames_u8, target_embeds):
+        """frames (B,H,W,3) RGB uint8; target_embeds (T,512) normalized.
+
+        Returns (kps (B,T,5,2) frame coords, sim (B,T), raw face count
+        proxy scores (B,F))."""
+        cfg = self.cfg
+        canvas, scale = preprocess_frames(frames_u8, cfg.det_size)
+        outs = self.det_mod.apply(self.det_vars, canvas)
+        scores, _boxes, kps = decode_detections(
+            outs,
+            input_size=cfg.det_size,
+            score_thresh=cfg.det_thresh,
+            max_faces=cfg.max_faces,
+        )
+        kps = kps / scale  # back to frame coordinates
+        b, f = scores.shape
+
+        # align + crop every face lane (masked lanes produce garbage
+        # crops which lose the argmax anyway)
+        m = estimate_norm(kps.reshape(b * f, 5, 2), cfg.crop_size)
+        crops = warp_affine(
+            jnp.repeat(frames_u8.astype(jnp.float32), f, axis=0),
+            m,
+            (cfg.crop_size, cfg.crop_size),
+        )
+        embeds = self._embed_impl(crops).reshape(b, f, -1)
+
+        sim = jnp.einsum("bfc,tc->bft", embeds, target_embeds)
+        valid = (scores > 0)[:, :, None]
+        sim = jnp.where(valid, sim, -1.0)
+        best = jnp.argmax(sim, axis=1)  # (B,T)
+        best_sim = jnp.take_along_axis(sim, best[:, None, :], axis=1)[:, 0, :]
+        best_kps = jnp.take_along_axis(
+            kps, best[..., None, None], axis=1
+        )
+        return best_kps, best_sim, scores, kps
+
+    # ----------------------------------------------------- stage B: swap
+    def _swap_blend_impl(self, frames_u8, kps, present, source_embeds):
+        """frames (B,H,W,3) RGB uint8; kps (B,T,5,2); present (B,T) bool;
+        source_embeds (T,512). Returns blended uint8 frames."""
+        cfg = self.cfg
+        b, t = kps.shape[:2]
+        cs = cfg.crop_size
+
+        m = estimate_norm(kps.reshape(b * t, 5, 2), cs)  # (B*T,2,3)
+        frames_f = frames_u8.astype(jnp.float32)
+        crops = warp_affine(jnp.repeat(frames_f, t, axis=0), m, (cs, cs))
+
+        # generator input: 256, [-1,1]
+        gen_in = resize(crops / 255.0, (cfg.gen_size, cfg.gen_size),
+                        method="bilinear")
+        gen_in = (gen_in - 0.5) / 0.5
+        src = jnp.tile(source_embeds, (b, 1))  # (B*T,512) frame-major
+        y, _ = self.gen_mod.apply(self.gen_vars, gen_in, src)
+        y = (y * 0.5 + 0.5) * 255.0
+
+        if self.sr is not None:
+            sr_mod, sr_vars = self.sr
+            y = sr_mod.apply(sr_vars, (y / 255.0 - 0.5) / 0.5)
+            y = (y * 0.5 + 0.5) * 255.0
+
+        swap224 = resize(y, (cs, cs), method="bilinear")
+
+        lmk_apply = lambda v, imgs: self.lmk_mod.apply(v, imgs)
+        lmks = landmarks_from_crops(lmk_apply, self.lmk_vars, swap224, cs)
+        mask = face_mask_batch(lmks, cs, self.cfg.mask_params)
+
+        # iterative per-target blend keeps frame-major layout: blend
+        # target 0 into frames, then target 1 into the result, matching
+        # the reference's sequential per-identity paste-back
+        # (video_processing.py:210-235)
+        out = frames_f
+        swap224 = swap224.reshape(b, t, cs, cs, 3)
+        mask = mask.reshape(b, t, cs, cs, 1)
+        m = m.reshape(b, t, 2, 3)
+        for j in range(t):
+            out = warp_and_blend(out, swap224[:, j], mask[:, j], m[:, j],
+                                 present=present[:, j])
+        return jnp.clip(out, 0, 255).astype(jnp.uint8)
+
+    # ------------------------------------------------------------ driver
+    def swap_video_frames(
+        self,
+        frames_rgb_u8: np.ndarray,
+        source_crops_rgb: np.ndarray,
+        target_crops_rgb: np.ndarray | None,
+        smooth: bool = True,
+    ) -> np.ndarray:
+        """Full chunked video swap on fixed-size chunks.
+
+        frames: (N,H,W,3) RGB uint8; sources (T,crop,crop,3); targets
+        same (or None: swap the single best face per frame, reference
+        set_target=False semantics).
+        """
+        from ghost_tpu.pipeline.smoothing import smooth_tracks
+
+        cfg = self.cfg
+        n = frames_rgb_u8.shape[0]
+        t = source_crops_rgb.shape[0]
+        src_emb = self.embed_sources(source_crops_rgb)
+        match_targets = target_crops_rgb is not None
+        if match_targets:
+            tgt_emb = self.embed_targets(target_crops_rgb)
+        else:
+            tgt_emb = normalize_embedding(src_emb)  # unused for selection
+
+        # stage A over chunks
+        kps_all = np.zeros((n, t, 5, 2), np.float32)
+        sim_all = np.zeros((n, t), np.float32)
+        bsz = cfg.chunk_size
+        pad = (-n) % bsz
+        frames_pad = np.concatenate(
+            [frames_rgb_u8, np.repeat(frames_rgb_u8[-1:], pad, 0)], 0
+        ) if pad else frames_rgb_u8
+        for i in range(0, n + pad, bsz):
+            chunk = jnp.asarray(frames_pad[i : i + bsz])
+            kps, sim, scores, raw_kps = self._detect_match(chunk, tgt_emb)
+            hi = min(i + bsz, n)
+            take = hi - i
+            if take <= 0:
+                continue
+            if match_targets:
+                kps_all[i:hi] = np.asarray(kps)[:take]
+                sim_all[i:hi] = np.asarray(sim)[:take]
+            else:
+                # no explicit targets: source j swaps the j-th
+                # best-scored face (reference set_target=False picks any
+                # face in the frame, video_processing.py:150-151)
+                kps_all[i:hi] = np.asarray(raw_kps)[:take, :t]
+                sim_all[i:hi] = np.asarray(scores)[:take, :t]
+
+        present = sim_all > (cfg.similarity_th if match_targets else 0.0)
+        if smooth:
+            kps_all = smooth_tracks(kps_all, present, n=2)
+
+        # stage B over chunks
+        out = np.empty_like(frames_pad)
+        present_pad = np.concatenate(
+            [present, np.zeros((pad, t), bool)], 0
+        ) if pad else present
+        kps_pad = np.concatenate(
+            [kps_all, np.zeros((pad, t, 5, 2), np.float32)], 0
+        ) if pad else kps_all
+        for i in range(0, n + pad, bsz):
+            res = self._swap_blend(
+                jnp.asarray(frames_pad[i : i + bsz]),
+                jnp.asarray(kps_pad[i : i + bsz]),
+                jnp.asarray(present_pad[i : i + bsz]),
+                src_emb,
+            )
+            out[i : i + bsz] = np.asarray(res)
+        return out[:n]
+
+    def swap_image(
+        self,
+        frame_rgb_u8: np.ndarray,
+        source_crops_rgb: np.ndarray,
+        target_crops_rgb: np.ndarray | None = None,
+    ) -> np.ndarray:
+        """Single-image path (reference --image_to_image)."""
+        out = self.swap_video_frames(
+            frame_rgb_u8[None], source_crops_rgb, target_crops_rgb, smooth=False
+        )
+        return out[0]
+
+    def crop_faces(self, image_rgb_u8: np.ndarray, max_faces: int | None = None):
+        """crop_face parity (reference image_processing.py:13-20):
+        detect, align to crop_size, return crops sorted by score."""
+        cfg = self.cfg
+        frames = jnp.asarray(image_rgb_u8[None])
+        canvas, scale = preprocess_frames(frames, cfg.det_size)
+        outs = self.det_mod.apply(self.det_vars, canvas)
+        scores, _boxes, kps = decode_detections(
+            outs, input_size=cfg.det_size, score_thresh=cfg.det_thresh,
+            max_faces=max_faces or cfg.max_faces,
+        )
+        kps = np.asarray(kps[0] / scale)
+        scores = np.asarray(scores[0])
+        n_valid = int((scores > 0).sum())
+        if n_valid == 0:
+            return np.zeros((0, cfg.crop_size, cfg.crop_size, 3), np.uint8), scores
+        m = estimate_norm(jnp.asarray(kps[:n_valid]), cfg.crop_size)
+        crops = warp_affine(
+            jnp.repeat(frames.astype(jnp.float32), n_valid, axis=0),
+            m, (cfg.crop_size, cfg.crop_size),
+        )
+        return np.asarray(jnp.clip(crops, 0, 255).astype(jnp.uint8)), scores
+
+
+def build_random_pipeline(config: SwapConfig = SwapConfig(),
+                          policy: Policy = DEFAULT_POLICY,
+                          arcface_layers=(1, 1, 1, 1),
+                          backbone: str = "unet",
+                          seed: int = 0) -> SwapPipeline:
+    """Random-init pipeline for tests and throughput benchmarks (weights
+    affect quality only, not the compute graph)."""
+    key = jax.random.key(seed)
+    det = SCRFD(policy=policy)
+    det_vars = det.init(key, jnp.zeros((1, config.det_size, config.det_size, 3)))
+    arc = IResNet(layers=arcface_layers, policy=policy)
+    arc_vars = arc.init(key, jnp.zeros((1, 112, 112, 3)))
+    gen = AEINet(backbone=backbone, num_blocks=2, policy=policy)
+    gen_vars = gen.init(key, jnp.zeros((1, config.gen_size, config.gen_size, 3)),
+                        jnp.zeros((1, 512)))
+    lmk = Landmark106(policy=policy)
+    lmk_vars = lmk.init(key, jnp.zeros((1, 192, 192, 3)))
+    return SwapPipeline((det, det_vars), (arc, arc_vars), (gen, gen_vars),
+                        (lmk, lmk_vars), config=config)
