@@ -51,6 +51,13 @@ _AAD_CATTR_UNET = (1024, 2048, 1024, 512, 256, 128, 64, 64)
 _AAD_CATTR_LINK = (1024, 1024, 512, 256, 128, 64, 32, 32)
 
 
+def _scaled(ch: int, width: float) -> int:
+    """Scale a channel count, keeping it even (for gamma/beta splits)."""
+    if width == 1.0:
+        return ch
+    return max(4, int(round(ch * width / 2)) * 2)
+
+
 class DownBlock(nn.Module):
     """conv4x4 stride-2 + BN + LeakyReLU(0.1) (reference AEI_Net.py:19-24)."""
 
@@ -102,18 +109,21 @@ class MLAttrEncoder(nn.Module):
     backbone: str = "unet"
     policy: Policy = DEFAULT_POLICY
     train: bool = False
+    width: float = 1.0  # channel multiplier (1.0 == reference plan)
 
     @nn.compact
     def __call__(self, xt):
         feats = []
         h = xt.astype(self.policy.compute_dtype)
         for i, ch in enumerate(_DOWN_CH):
+            ch = _scaled(ch, self.width)
             h = DownBlock(ch, self.policy, self.train, name=f"down{i + 1}")(h)
             feats.append(h)
         # feats: 128,64,32,16,8,4,2 spatial; z_attr1 = deepest (2x2)
         attrs = [feats[-1]]
         h = feats[-1]
         for i, ch in enumerate(_UP_OUT):
+            ch = _scaled(ch, self.width)
             skip = feats[-2 - i]
             h = UpBlock(ch, self.backbone, self.policy, self.train, name=f"up{i + 1}")(h, skip)
             attrs.append(h)
@@ -188,17 +198,21 @@ class AADGenerator(nn.Module):
     c_id: int = 512
     num_blocks: int = 2
     policy: Policy = DEFAULT_POLICY
+    width: float = 1.0
 
     @nn.compact
     def __call__(self, z_attrs: Sequence[Any], z_id):
         cd = self.policy.compute_dtype
         z_id = z_id.astype(cd)
-        m = ConvTranspose(1024, kernel_size=2, stride=1, padding=0, dtype=cd,
+        m = ConvTranspose(_scaled(1024, self.width), kernel_size=2, stride=1,
+                          padding=0, dtype=cd,
                           param_dtype=self.policy.param_dtype, name="up1")(
             z_id[:, None, None, :]
         )
         for k in range(8):
-            y = AADResBlock(_AAD_CIN[k], _AAD_COUT[k], self.num_blocks, self.policy,
+            cin = _scaled(_AAD_CIN[k], self.width)
+            cout = _AAD_COUT[k] if k == 7 else _scaled(_AAD_COUT[k], self.width)
+            y = AADResBlock(cin, cout, self.num_blocks, self.policy,
                             name=f"blk{k + 1}")(m, z_attrs[k].astype(cd), z_id)
             if k < 7:
                 m = resize_like_torch(y, 2.0, method="bilinear", align_corners=True)
@@ -214,17 +228,20 @@ class AEINet(nn.Module):
     num_blocks: int = 2
     policy: Policy = DEFAULT_POLICY
     train: bool = False
+    width: float = 1.0  # 1.0 == reference channel plan; <1 for tests/serving
 
     def setup(self):
         if self.backbone in ("unet", "linknet"):
-            self.encoder = MLAttrEncoder(self.backbone, self.policy, self.train)
+            self.encoder = MLAttrEncoder(self.backbone, self.policy, self.train,
+                                         self.width)
         elif self.backbone == "resnet":
             from ghost_tpu.models.aei_resnet import MLAttrEncoderResnet
 
             self.encoder = MLAttrEncoderResnet(policy=self.policy, train=self.train)
         else:
             raise ValueError(f"unknown backbone {self.backbone!r}")
-        self.generator = AADGenerator(self.backbone, self.c_id, self.num_blocks, self.policy)
+        self.generator = AADGenerator(self.backbone, self.c_id, self.num_blocks,
+                                      self.policy, self.width)
 
     def __call__(self, xt, z_id):
         attrs = self.encoder(xt)
