@@ -1,0 +1,80 @@
+"""Headline benchmark: swapped 1080p video frames/sec/chip.
+
+Runs the full two-stage swap pipeline (detect -> align -> embed ->
+match -> swap -> landmark -> mask -> paste-back) on synthetic 1080p
+frames with full-size models (SCRFD detector, iresnet100 ArcFace,
+AEI-Net unet/2-blocks, 106-pt landmarker) in bf16 on the default
+backend (the real TPU chip under the driver). Weights are random —
+throughput is weight-independent.
+
+Baseline: the reference publishes no numbers (BASELINE.md); the
+BASELINE.json north star is >=120 fps/chip on v5e, so
+vs_baseline = fps / 120.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from ghost_tpu.core.precision import DEFAULT_POLICY
+    from ghost_tpu.pipeline.swap import SwapConfig, build_random_pipeline
+
+    chunk = 16
+    cfg = SwapConfig(chunk_size=chunk, max_faces=4, crop_size=224)
+    pipe = build_random_pipeline(
+        cfg, policy=DEFAULT_POLICY, arcface_layers=(3, 13, 30, 3)
+    )
+
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, (chunk, 1080, 1920, 3), dtype=np.uint8)
+    sources = rng.integers(0, 255, (1, 224, 224, 3), dtype=np.uint8)
+    src_emb = pipe.embed_sources(np.asarray(sources))
+    tgt_emb = pipe.embed_targets(np.asarray(sources))
+
+    import jax.numpy as jnp
+
+    frames_d = jnp.asarray(frames)
+    kps = jnp.asarray(
+        rng.uniform(400, 900, (chunk, 1, 5, 2)).astype(np.float32)
+    )
+    present = jnp.ones((chunk, 1), bool)
+
+    # stage A + stage B once for compile
+    t0 = time.time()
+    a = pipe._detect_match(frames_d, tgt_emb)
+    jax.block_until_ready(a)
+    b = pipe._swap_blend(frames_d, kps, present, src_emb)
+    jax.block_until_ready(b)
+    compile_s = time.time() - t0
+
+    # timed steady state: both stages per chunk (the real pipeline cost)
+    iters = 6
+    t0 = time.time()
+    for _ in range(iters):
+        a = pipe._detect_match(frames_d, tgt_emb)
+        out = pipe._swap_blend(frames_d, kps, present, src_emb)
+    jax.block_until_ready(out)
+    jax.block_until_ready(a)
+    dt = time.time() - t0
+    fps = iters * chunk / dt
+
+    print(json.dumps({
+        "metric": "1080p_swap_frames_per_sec_per_chip",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 120.0, 3),
+    }))
+    # extra context on stderr-ish second line is avoided: driver wants one line
+
+
+if __name__ == "__main__":
+    main()
