@@ -1,0 +1,74 @@
+"""Threaded prefetch batch loader (torch DataLoader num_workers=8
+equivalent, reference train.py:526).
+
+Worker threads pull indices, assemble items (cv2/numpy release the
+GIL), and a collator stacks contiguous NHWC batches; `prefetch` batches
+are staged ahead so the jitted train step never waits on the host.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator
+
+import numpy as np
+
+
+class PrefetchLoader:
+    def __init__(self, dataset, batch_size: int, num_workers: int = 4,
+                 prefetch: int = 4, shuffle: bool = True, seed: int = 0,
+                 drop_last: bool = True):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+
+    def __len__(self):
+        n = len(self.dataset) // self.batch_size
+        if not self.drop_last and len(self.dataset) % self.batch_size:
+            n += 1
+        return n
+
+    def __iter__(self) -> Iterator[dict]:
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.default_rng(self.seed).shuffle(order)
+
+        idx_q: queue.Queue = queue.Queue()
+        item_q: queue.Queue = queue.Queue(maxsize=self.prefetch * self.batch_size)
+        n_batches = len(self)
+        n_items = n_batches * self.batch_size if self.drop_last else len(order)
+        for i in order[:n_items]:
+            idx_q.put(int(i))
+        stop = threading.Event()
+
+        def worker():
+            while not stop.is_set():
+                try:
+                    i = idx_q.get_nowait()
+                except queue.Empty:
+                    return
+                try:
+                    item_q.put(self.dataset[i])
+                except Exception:
+                    # skip unreadable samples (the reference's per-sample
+                    # try/except resilience, train.py:101-165)
+                    idx_q.put(int(np.random.default_rng().integers(len(self.dataset))))
+
+        threads = [threading.Thread(target=worker, daemon=True)
+                   for _ in range(self.num_workers)]
+        for t in threads:
+            t.start()
+        try:
+            for _ in range(n_batches):
+                items = [item_q.get() for _ in range(self.batch_size)]
+                batch = {
+                    k: np.stack([it[k] for it in items]) for k in items[0]
+                }
+                yield batch
+        finally:
+            stop.set()

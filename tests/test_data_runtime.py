@@ -1,0 +1,98 @@
+"""Datasets, prefetch loader, and the native frame runtime."""
+
+import os
+
+import numpy as np
+import pytest
+
+from ghost_tpu.data.frames import FrameRing, native_available, u8_to_pm1
+from ghost_tpu.data.loader import PrefetchLoader
+
+
+def make_image_dir(tmp_path, n=6, sub=""):
+    import cv2
+
+    d = tmp_path / (sub or "imgs")
+    d.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(0)
+    for i in range(n):
+        img = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+        cv2.imwrite(str(d / f"{i}.jpg"), img)
+    return str(d)
+
+
+def test_native_lib_builds_and_converts(rng):
+    assert native_available(), "runtime/libghost_rt.so failed to build"
+    x = rng.integers(0, 255, (4, 16, 16, 3), dtype=np.uint8)
+    out = u8_to_pm1(x)
+    np.testing.assert_allclose(out, x.astype(np.float32) / 127.5 - 1.0,
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_frame_ring_roundtrip(rng):
+    ring = FrameRing((8, 8, 3), slots=4)
+    frames = [rng.integers(0, 255, (8, 8, 3), dtype=np.uint8) for _ in range(10)]
+    out = []
+    for i, f in enumerate(frames):
+        assert ring.push(f, timeout=1.0)
+        if i % 2 == 1:  # drain two at a time
+            out.append(ring.pop(timeout=1.0))
+            out.append(ring.pop(timeout=1.0))
+    for a, b in zip(frames, out):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_frame_ring_respects_capacity():
+    ring = FrameRing((4, 4, 3), slots=2)
+    f = np.zeros((4, 4, 3), np.uint8)
+    assert ring.push(f, timeout=0.1)
+    assert ring.push(f, timeout=0.1)
+    assert not ring.push(f, timeout=0.1)  # full
+    assert ring.pop(timeout=0.1) is not None
+    assert ring.push(f, timeout=0.1)
+
+
+def test_face_embed_dataset(tmp_path):
+    from ghost_tpu.data.datasets import FaceEmbedDataset
+
+    d = make_image_dir(tmp_path)
+    ds = FaceEmbedDataset([d], same_prob=1.0)
+    item = ds[0]
+    assert item["xs_arcface"].shape == (224, 224, 3)
+    assert item["xs"].shape == (256, 256, 3)
+    assert item["xt"].shape == (256, 256, 3)
+    assert item["same_person"] == 1.0
+    assert item["xs"].min() >= -1.0 and item["xs"].max() <= 1.0
+
+    ds2 = FaceEmbedDataset([d], same_prob=0.0)
+    assert ds2[0]["same_person"] == 0.0
+
+
+def test_vgg2_dataset_same_identity(tmp_path):
+    import cv2
+
+    from ghost_tpu.data.datasets import FaceEmbedVGG2Dataset
+
+    rng = np.random.default_rng(0)
+    for ident in ("a", "b"):
+        d = tmp_path / "vgg" / ident
+        d.mkdir(parents=True)
+        for i in range(3):
+            cv2.imwrite(str(d / f"{i}.jpg"),
+                        rng.integers(0, 255, (48, 48, 3), dtype=np.uint8))
+    ds = FaceEmbedVGG2Dataset(str(tmp_path / "vgg"), same_prob=1.0,
+                              same_identity=True)
+    item = ds[0]
+    assert item["same_person"] == 1.0
+
+
+def test_celeba_dataset_and_loader(tmp_path):
+    from ghost_tpu.data.datasets import CelebAStyleDataset
+
+    d = make_image_dir(tmp_path, n=8)
+    ds = CelebAStyleDataset(d)
+    loader = PrefetchLoader(ds, batch_size=4, num_workers=2, shuffle=True)
+    batches = list(loader)
+    assert len(batches) == 2
+    assert batches[0]["xs"].shape == (4, 256, 256, 3)
+    assert batches[0]["same_person"].shape == (4,)
