@@ -56,14 +56,17 @@ def main():
     jax.block_until_ready(b)
     compile_s = time.time() - t0
 
-    # timed steady state: both stages per chunk (the real pipeline cost)
+    # timed steady state: both stages per chunk. Iterations are chained
+    # (stage A's kps feed stage B; stage B's frames feed the next stage
+    # A) so every step depends on real prior results — nothing can be
+    # constant-folded, cached, or overlapped away.
     iters = 6
+    cur = frames_d
     t0 = time.time()
     for _ in range(iters):
-        a = pipe._detect_match(frames_d, tgt_emb)
-        out = pipe._swap_blend(frames_d, kps, present, src_emb)
-    jax.block_until_ready(out)
-    jax.block_until_ready(a)
+        best_kps, _sim, _scores, _raw = pipe._detect_match(cur, tgt_emb)
+        cur = pipe._swap_blend(cur, best_kps, present, src_emb)
+    jax.block_until_ready(cur)
     dt = time.time() - t0
     fps = iters * chunk / dt
 

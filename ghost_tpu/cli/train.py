@@ -1,0 +1,213 @@
+"""Training CLI: all reference training regimes behind one entry point.
+
+Flag parity with the reference train scripts (reference train.py:554-616
+and the train-self/-roundtrip/-discriminator/-upsampler/-mask variants),
+selected via --mode:
+
+  canonical    GHOST GAN losses (utils/training/losses.py:14-67)
+  distill      inswapper teacher distillation (train.py) — needs
+               onnxruntime + --teacher_onnx; falls back with an error
+  self         self-distillation from a frozen AEI teacher (train-self.py)
+  roundtrip    adds the round-trip loss (train-roundtrip.py)
+
+Usage:
+    python -m ghost_tpu.cli.train --dataset_path /data/celeba \
+        --mode canonical --batch_size 8
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="ghost-tpu training")
+    # reference flags (train.py:554-616)
+    p.add_argument("--dataset_path", required=True)
+    p.add_argument("--G_path", default="", help="pretrained G (torch .pth or ckpt dir)")
+    p.add_argument("--D_path", default="")
+    p.add_argument("--teacher_path", default="", help="frozen AEI teacher for --mode self")
+    p.add_argument("--teacher_onnx", default="", help="inswapper_128.onnx for --mode distill")
+    p.add_argument("--arcface_path", default="weights/backbone.pth")
+    p.add_argument("--batch_size", default=16, type=int)
+    p.add_argument("--lr_G", default=4e-4, type=float)
+    p.add_argument("--lr_D", default=4e-4, type=float)
+    p.add_argument("--b1", default=0.0, type=float)
+    p.add_argument("--b2", default=0.999, type=float)
+    p.add_argument("--weight_decay", default=1e-4, type=float)
+    p.add_argument("--max_epochs", default=2000, type=int)
+    p.add_argument("--show_step", default=250, type=int)
+    p.add_argument("--save_interval", default=2500, type=int)
+    p.add_argument("--run_name", default="ghost", type=str)
+    p.add_argument("--backbone", default="unet",
+                   choices=["unet", "linknet", "resnet"])
+    p.add_argument("--num_blocks", default=2, type=int)
+    p.add_argument("--same_person", default=0.2, type=float,
+                   help="probability of same-person pairs (1 - same_prob)")
+    p.add_argument("--same_identity", default=False, type=bool)
+    p.add_argument("--vgg_dataset", default=False, type=bool,
+                   help="per-identity folder layout (VGGFace2)")
+    p.add_argument("--celeba", default=False, type=bool)
+    p.add_argument("--eye_detector_loss", default=False, type=bool)
+    p.add_argument("--weight_adv", default=1.0, type=float)
+    p.add_argument("--weight_attr", default=10.0, type=float)
+    p.add_argument("--weight_id", default=15.0, type=float)
+    p.add_argument("--weight_rec", default=10.0, type=float)
+    p.add_argument("--weight_eyes", default=0.0, type=float)
+    p.add_argument("--mode", default="canonical",
+                   choices=["canonical", "distill", "self", "roundtrip"])
+    p.add_argument("--d_interval", default=10, type=int)
+    p.add_argument("--num_workers", default=8, type=int)
+    p.add_argument("--max_steps", default=None, type=int)
+    p.add_argument("--bf16", default=True, type=bool)
+    p.add_argument("--width", default=1.0, type=float)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from ghost_tpu.core.checkpoint import CheckpointManager
+    from ghost_tpu.core.precision import DEFAULT_POLICY, FULL_PRECISION
+    from ghost_tpu.data.datasets import (
+        CelebAStyleDataset,
+        FaceEmbedDataset,
+        FaceEmbedVGG2Dataset,
+    )
+    from ghost_tpu.data.loader import PrefetchLoader
+    from ghost_tpu.models.aei import AEINet
+    from ghost_tpu.models.arcface import iresnet100
+    from ghost_tpu.models.discriminator import MultiscaleDiscriminator
+    from ghost_tpu.nn.layers import resize
+    from ghost_tpu.train.loop import LoopConfig, train_loop
+    from ghost_tpu.train.losses import GeneratorLossWeights
+    from ghost_tpu.train.train_step import (
+        TrainStepConfig,
+        init_train_state,
+        make_train_steps,
+    )
+
+    policy = DEFAULT_POLICY if args.bf16 else FULL_PRECISION
+    key = jax.random.key(0)
+
+    gen = AEINet(backbone=args.backbone, num_blocks=args.num_blocks,
+                 policy=policy, train=True, width=args.width)
+    if args.G_path.endswith(".pth"):
+        from ghost_tpu.convert.torch_loader import (
+            convert_aei_state_dict, load_torch_checkpoint)
+
+        g_vars = jax.tree.map(jnp.asarray, convert_aei_state_dict(
+            load_torch_checkpoint(args.G_path), args.backbone,
+            args.num_blocks))
+    else:
+        g_vars = gen.init(key, jnp.zeros((1, 256, 256, 3)),
+                          jnp.zeros((1, 512)))
+
+    disc = MultiscaleDiscriminator(n_layers=5, num_D=3, norm="instance",
+                                   policy=policy)
+    if args.D_path.endswith(".pth"):
+        from ghost_tpu.convert.torch_loader import (
+            convert_discriminator_state_dict, load_torch_checkpoint)
+
+        d_vars = jax.tree.map(jnp.asarray, convert_discriminator_state_dict(
+            load_torch_checkpoint(args.D_path), num_D=3, n_layers=5))
+    else:
+        d_vars = disc.init(key, jnp.zeros((1, 256, 256, 3)))
+
+    arc = iresnet100(policy=policy)
+    if args.arcface_path and args.arcface_path.endswith(".pth") and \
+            __import__("os").path.exists(args.arcface_path):
+        from ghost_tpu.convert.torch_loader import (
+            convert_arcface_state_dict, load_torch_checkpoint)
+
+        a_vars = jax.tree.map(jnp.asarray, convert_arcface_state_dict(
+            load_torch_checkpoint(args.arcface_path)))
+    else:
+        print("WARNING: random ArcFace weights")
+        a_vars = arc.init(key, jnp.zeros((1, 112, 112, 3)))
+    arc_apply = lambda x: arc.apply(a_vars, x)
+
+    mode = {"canonical": "canonical", "distill": "distill",
+            "self": "self_distill", "roundtrip": "round_trip"}[args.mode]
+    step_cfg = TrainStepConfig(
+        lr_g=args.lr_G, lr_d=args.lr_D, b1=args.b1, b2=args.b2,
+        weight_decay=args.weight_decay, d_interval=args.d_interval,
+        mode=mode, eye_loss=args.eye_detector_loss,
+    )
+    weights = GeneratorLossWeights(
+        adv=args.weight_adv, attr=args.weight_attr, id=args.weight_id,
+        rec=args.weight_rec, eyes=args.weight_eyes,
+    )
+
+    teacher_apply = None
+    if mode == "self_distill":
+        t_vars = g_vars
+        if args.teacher_path:
+            from ghost_tpu.convert.torch_loader import (
+                convert_aei_state_dict, load_torch_checkpoint)
+
+            t_vars = jax.tree.map(jnp.asarray, convert_aei_state_dict(
+                load_torch_checkpoint(args.teacher_path), args.backbone,
+                args.num_blocks))
+        t_gen = AEINet(backbone=args.backbone, num_blocks=args.num_blocks,
+                       policy=policy, train=False, width=args.width)
+        teacher_apply = lambda xt, z: t_gen.apply(t_vars, xt, z)[0]
+
+    g_step, d_step = make_train_steps(gen, disc, arc_apply, step_cfg, weights,
+                                      teacher_apply=teacher_apply)
+    state = init_train_state(g_vars, d_vars, step_cfg)
+
+    if args.celeba:
+        ds = CelebAStyleDataset(args.dataset_path)
+    elif args.vgg_dataset:
+        ds = FaceEmbedVGG2Dataset(args.dataset_path,
+                                  same_prob=1 - args.same_person,
+                                  same_identity=args.same_identity)
+    else:
+        ds = FaceEmbedDataset([args.dataset_path],
+                              same_prob=1 - args.same_person)
+    loader = PrefetchLoader(ds, args.batch_size, num_workers=args.num_workers)
+
+    def with_embeds(batches):
+        embed_fn = jax.jit(
+            lambda x: arc_apply(resize(x, (112, 112), method="area"))
+        )
+        for b in batches:
+            b["embed"] = np.asarray(embed_fn(jnp.asarray(b["xs_arcface"])))
+            yield b
+
+    import numpy as np
+
+    batch_iter = with_embeds(iter(loader))
+    if mode == "distill":
+        from ghost_tpu.train.distill import (
+            OnnxInswapperTeacher, TeacherPrefetcher, onnx_teacher_available)
+
+        if not onnx_teacher_available() or not args.teacher_onnx:
+            raise SystemExit(
+                "--mode distill needs onnxruntime and --teacher_onnx; "
+                "use --mode self for the on-device teacher instead"
+            )
+        teacher = OnnxInswapperTeacher(args.teacher_onnx)
+        batch_iter = iter(TeacherPrefetcher(teacher, batch_iter))
+
+    ckpt = CheckpointManager(
+        f"{args.run_name}_ckpt" if not args.run_name.startswith("/")
+        else args.run_name
+    )
+    loop_cfg = LoopConfig(
+        max_epochs=args.max_epochs, d_interval=args.d_interval,
+        show_step=args.show_step, save_interval=args.save_interval,
+        run_name=args.run_name, distill=(mode != "canonical"),
+    )
+    state, metrics = train_loop(state, g_step, d_step, batch_iter, loop_cfg,
+                                checkpoint_manager=ckpt,
+                                max_steps=args.max_steps)
+    print("final:", metrics)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,120 @@
+"""Training loop driver: epochs, D cadence, ratchets, snapshots, grids.
+
+Orchestration parity with the reference train scripts (reference
+train.py:62-459 and variants):
+  * D stepped every `d_interval` G steps (train.py:400-407);
+  * dynamic loss-multiplier ratchets on host scalars fed into the
+    jitted step (train.py:328-338 via losses.ratchet_multiplier);
+  * loss dashboard printed every `print_interval` (train.py:423-443);
+  * image grids [Xs | Xt | teacher | Y] dumped every `show_step`
+    (train.py:413-421) to output/images/;
+  * rolling 'latest' + immutable step checkpoints every `save_interval`
+    (train.py:449-456) — but including optimizer state (the reference
+    drops it, SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Callable, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ghost_tpu.train.losses import ratchet_multiplier
+from ghost_tpu.train.train_step import TrainState, default_distill_mults
+
+
+@dataclasses.dataclass
+class LoopConfig:
+    max_epochs: int = 2000
+    d_interval: int = 10
+    print_interval: int = 10
+    show_step: int = 250
+    save_interval: int = 2500
+    output_dir: str = "./output"
+    run_name: str = "ghost"
+    distill: bool = False
+    ratchets: bool = True
+
+
+def _image_grid(arrays, path):
+    """[B,H,W,3] pm1 arrays side by side -> one uint8 grid image."""
+    try:
+        import cv2
+    except ImportError:
+        return
+    rows = []
+    for i in range(min(arrays[0].shape[0], 4)):
+        row = np.concatenate([np.asarray(a[i]) for a in arrays], axis=1)
+        rows.append(row)
+    grid = np.concatenate(rows, axis=0)
+    grid = np.clip((grid * 0.5 + 0.5) * 255.0, 0, 255).astype(np.uint8)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    cv2.imwrite(path, grid[:, :, ::-1])
+
+
+def train_loop(
+    state: TrainState,
+    g_step: Callable,
+    d_step: Callable,
+    batches: Iterable[dict],
+    cfg: LoopConfig,
+    checkpoint_manager=None,
+    max_steps: Optional[int] = None,
+):
+    """Run the GAN loop over an iterable of batches. Returns final state."""
+    jit_g = jax.jit(g_step)
+    jit_d = jax.jit(d_step)
+    mults = default_distill_mults()
+    iteration = 0
+    last_metrics: dict = {}
+    t0 = time.time()
+
+    for epoch in range(cfg.max_epochs):
+        for batch in batches:
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            state, metrics, y = jit_g(state, batch, dict(mults))
+            if iteration % cfg.d_interval == 0:
+                state, loss_d = jit_d(state, y, batch["xs"])
+                metrics["lossD"] = loss_d
+
+            if cfg.distill and cfg.ratchets:
+                # host-side multiplier ratchets (train.py:328-338)
+                mults["id"] = ratchet_multiplier(
+                    float(metrics["L_id"]), mults["id"], 200.0)
+                if "L_teacher" in metrics:
+                    mults["id_hq"] = ratchet_multiplier(
+                        float(metrics.get("L_id", 0.0)), mults["id_hq"], 250.0)
+
+            if iteration % cfg.print_interval == 0:
+                batch_time = time.time() - t0
+                t0 = time.time()
+                parts = [f"epoch {epoch} it {iteration}"]
+                for k, v in metrics.items():
+                    parts.append(f"{k}={float(v):.4f}")
+                parts.append(f"batch_time={batch_time:.2f}s")
+                print("  ".join(parts))
+                last_metrics = {k: float(v) for k, v in metrics.items()}
+
+            if iteration % cfg.show_step == 0:
+                imgs = [batch["xs"], batch["xt"], y]
+                if "teacher_y" in batch:
+                    imgs.insert(2, batch["teacher_y"])
+                _image_grid(
+                    imgs,
+                    os.path.join(cfg.output_dir, "images",
+                                 f"generated_{cfg.run_name}_{epoch}_{iteration:06}.jpg"),
+                )
+
+            if checkpoint_manager is not None and iteration > 0 \
+                    and iteration % cfg.save_interval == 0:
+                checkpoint_manager.save(iteration, state)
+
+            iteration += 1
+            if max_steps is not None and iteration >= max_steps:
+                return state, last_metrics
+    return state, last_metrics
