@@ -25,6 +25,11 @@ import numpy as np
 def main():
     import jax
 
+    # persistent compile cache: tunnel compiles of the two pipeline
+    # stages are expensive; cache them across bench invocations
+    jax.config.update("jax_compilation_cache_dir", "/tmp/ghost_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
     from ghost_tpu.core.precision import DEFAULT_POLICY
     from ghost_tpu.pipeline.swap import SwapConfig, build_random_pipeline
 
