@@ -71,7 +71,10 @@ def main():
     for _ in range(iters):
         best_kps, _sim, _scores, _raw = pipe._detect_match(cur, tgt_emb)
         cur = pipe._swap_blend(cur, best_kps, present, src_emb)
-    jax.block_until_ready(cur)
+    # force full host materialization — on the remote-attached platform
+    # block_until_ready can return before device execution finishes, so
+    # fetch actual bytes of the final (data-dependent) result
+    _ = np.asarray(cur)
     dt = time.time() - t0
     fps = iters * chunk / dt
 
