@@ -69,6 +69,7 @@ def main(argv=None):
 
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from ghost_tpu.core.checkpoint import CheckpointManager
     from ghost_tpu.core.precision import DEFAULT_POLICY, FULL_PRECISION
@@ -178,8 +179,6 @@ def main(argv=None):
         for b in batches:
             b["embed"] = np.asarray(embed_fn(jnp.asarray(b["xs_arcface"])))
             yield b
-
-    import numpy as np
 
     batch_iter = with_embeds(iter(loader))
     if mode == "distill":

@@ -248,24 +248,33 @@ def _iou_matrix(boxes):
     return inter / jnp.maximum(union, 1e-9)
 
 
-def _nms_single(scores, boxes, kps, max_faces: int, iou_thresh: float):
+def _nms_single(scores, boxes, kps, max_faces: int, iou_thresh: float,
+                exact_rounds: int = 4):
+    """Parallel matrix NMS over score-sorted candidates.
+
+    Starts from the fully-parallel "fast NMS" relaxation (suppress i if
+    ANY higher-scored j overlaps it) and then runs a few fixed-point
+    rounds of the exact greedy rule (suppress i only if a higher-scored
+    *survivor* overlaps it): keep = f(keep) where
+    f(keep)[i] = score[i]>0 and no j<i with keep[j] and IoU>thr.
+    Greedy NMS is the unique fixed point; suppression chains longer than
+    `exact_rounds` are vanishingly rare for faces (requires 4+ mutually
+    chained overlaps), and every round is one masked matmul-shaped
+    reduction instead of a 768-step sequential scan."""
     order = jnp.argsort(-scores)
     scores = scores[order]
     boxes = boxes[order]
     kps = kps[order]
-    iou = _iou_matrix(boxes)
     n = scores.shape[0]
+    iou = _iou_matrix(boxes)
+    higher = jnp.arange(n)[None, :] < jnp.arange(n)[:, None]  # j < i
+    overlap = (iou > iou_thresh) & higher  # (i, j): j could suppress i
 
-    # greedy suppression as a scan over score-sorted candidates:
-    # candidate i survives iff no higher-scored survivor overlaps > thr
-    def body(keep, i):
-        overlapped = jnp.any(keep & (iou[i] > iou_thresh) &
-                             (jnp.arange(n) < i))
-        k = (~overlapped) & (scores[i] > 0)
-        keep = keep.at[i].set(k)
-        return keep, k
+    keep = scores > 0
+    for _ in range(exact_rounds):
+        suppressed = jnp.any(overlap & keep[None, :], axis=1)
+        keep = (scores > 0) & ~suppressed
 
-    keep, _ = jax.lax.scan(body, jnp.zeros(n, bool), jnp.arange(n))
     kept_scores = jnp.where(keep, scores, -1.0)
     top_s, top_i = jax.lax.top_k(kept_scores, max_faces)
     return top_s, boxes[top_i], kps[top_i]

@@ -29,17 +29,19 @@ TILE_H = 128
 
 def _pasteback_kernel(m_ref, frame_ref, swapmask_ref, out_ref, *,
                       tile_h: int, crop: int):
-    """m_ref: (1, 8) [a,b,tx,c,d,ty,present,_] in SMEM;
-    frame_ref/out_ref: (1, tile_h, W, 3); swapmask_ref: (1, crop, crop, 4)."""
+    """m_ref: (B, 8) [a,b,tx,c,d,ty,present,_] in SMEM (full array,
+    indexed by program id); frame_ref/out_ref: (1, tile_h, W, 3);
+    swapmask_ref: (1, crop, crop, 4)."""
     frame = frame_ref[0].astype(jnp.float32)  # (tile_h, W, 3)
     w = frame.shape[1]
-    a = m_ref[0, 0]
-    b = m_ref[0, 1]
-    tx = m_ref[0, 2]
-    c = m_ref[0, 3]
-    d = m_ref[0, 4]
-    ty = m_ref[0, 5]
-    present = m_ref[0, 6]
+    bi = pl.program_id(0)
+    a = m_ref[bi, 0]
+    b = m_ref[bi, 1]
+    tx = m_ref[bi, 2]
+    c = m_ref[bi, 3]
+    d = m_ref[bi, 4]
+    ty = m_ref[bi, 5]
+    present = m_ref[bi, 6]
 
     row0 = pl.program_id(1) * tile_h
     ys = (row0 + jax.lax.broadcasted_iota(jnp.float32, (tile_h, w), 0))
@@ -55,13 +57,15 @@ def _pasteback_kernel(m_ref, frame_ref, swapmask_ref, out_ref, *,
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
 
-    sm = swapmask_ref[0].astype(jnp.float32)  # (crop, crop, 4)
+    # flatten the crop to 2-D: Mosaic supports gathers of 2-D operands
+    sm = swapmask_ref[0].astype(jnp.float32).reshape(crop * crop, 4)
 
     def tap(yi, xi):
         valid = (yi >= 0) & (yi < crop) & (xi >= 0) & (xi < crop)
         yc = jnp.clip(yi, 0, crop - 1)
         xc = jnp.clip(xi, 0, crop - 1)
-        vals = sm[yc, xc]  # gather (tile_h, W, 4)
+        lin = yc * crop + xc  # (tile_h, W)
+        vals = sm[lin]  # 2-D-operand gather -> (tile_h, W, 4)
         return jnp.where(valid[..., None], vals, 0.0)
 
     v00 = tap(y0i, x0i)
@@ -106,7 +110,7 @@ def pasteback_pallas(frame, swap, mask, m_crop, present=None,
         kernel,
         grid=(b, h // th),
         in_specs=[
-            pl.BlockSpec((1, 8), lambda i, j: (i, 0),
+            pl.BlockSpec((b, 8), lambda i, j: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, th, w, 3), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),

@@ -40,6 +40,14 @@ from ghost_tpu.ops.umeyama import estimate_norm
 from ghost_tpu.ops.warp import warp_affine, warp_and_blend
 
 
+def _pick_tile(h: int, max_tile: int = 256, min_tile: int = 8) -> int:
+    """Largest divisor of h in [min_tile, max_tile] (0 if none)."""
+    for tile in range(min(max_tile, h), min_tile - 1, -1):
+        if h % tile == 0:
+            return tile
+    return 0
+
+
 @dataclasses.dataclass(frozen=True)
 class SwapConfig:
     """Knobs mirror the reference CLI (reference inference.py:127-151)."""
@@ -53,6 +61,7 @@ class SwapConfig:
     gen_size: int = 256
     use_sr: bool = False
     mask_params: tuple = (5.0, 5.0, 5.0, 2.0)
+    use_pallas_pasteback: bool = True  # tiled kernel on TPU when tileable
 
 
 class SwapPipeline:
@@ -205,9 +214,19 @@ class SwapPipeline:
         swap224 = swap224.reshape(b, t, cs, cs, 3)
         mask = mask.reshape(b, t, cs, cs, 1)
         m = m.reshape(b, t, 2, 3)
+        h = frames_f.shape[1]
+        tile = _pick_tile(h) if cfg.use_pallas_pasteback else 0
+        use_kernel = tile > 0 and jax.default_backend() == "tpu"
         for j in range(t):
-            out = warp_and_blend(out, swap224[:, j], mask[:, j], m[:, j],
-                                 present=present[:, j])
+            if use_kernel:
+                from ghost_tpu.ops.pallas.warp_kernel import pasteback_pallas
+
+                out = pasteback_pallas(out, swap224[:, j], mask[:, j],
+                                       m[:, j], present=present[:, j],
+                                       tile_h=tile)
+            else:
+                out = warp_and_blend(out, swap224[:, j], mask[:, j], m[:, j],
+                                     present=present[:, j])
         return jnp.clip(out, 0, 255).astype(jnp.uint8)
 
     # ------------------------------------------------------------ driver
