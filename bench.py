@@ -65,16 +65,21 @@ def main():
     # (stage A's kps feed stage B; stage B's frames feed the next stage
     # A) so every step depends on real prior results — nothing can be
     # constant-folded, cached, or overlapped away.
+    import jax.numpy as jnp2
+
+    checksum_fn = jax.jit(lambda x: jnp2.sum(x.astype(jnp2.float32)))
+    _ = float(checksum_fn(frames_d))  # compile the checksum program
+
     iters = 6
     cur = frames_d
     t0 = time.time()
     for _ in range(iters):
         best_kps, _sim, _scores, _raw = pipe._detect_match(cur, tgt_emb)
         cur = pipe._swap_blend(cur, best_kps, present, src_emb)
-    # force full host materialization — on the remote-attached platform
-    # block_until_ready can return before device execution finishes, so
-    # fetch actual bytes of the final (data-dependent) result
-    _ = np.asarray(cur)
+    # force execution via a data-dependent scalar: block_until_ready can
+    # return before device execution finishes on remote-attached
+    # platforms, and downloading full frames would time the transfer
+    _ = float(checksum_fn(cur))
     dt = time.time() - t0
     fps = iters * chunk / dt
 

@@ -62,6 +62,10 @@ class SwapConfig:
     use_sr: bool = False
     mask_params: tuple = (5.0, 5.0, 5.0, 2.0)
     use_pallas_pasteback: bool = True  # tiled kernel on TPU when tileable
+    # 'None' = reference best-of-5-pose-templates (video_processing.py:133);
+    # 'arcface' = frontal template only (1/5 the alignment work; faces in
+    # video are near-frontal so the argmin almost always picks it anyway)
+    align_mode: str = "None"
 
 
 class SwapPipeline:
@@ -156,7 +160,8 @@ class SwapPipeline:
 
         # align + crop every face lane (masked lanes produce garbage
         # crops which lose the argmax anyway)
-        m = estimate_norm(kps.reshape(b * f, 5, 2), cfg.crop_size)
+        m = estimate_norm(kps.reshape(b * f, 5, 2), cfg.crop_size,
+                          mode=cfg.align_mode)
         crops = warp_affine(
             jnp.repeat(frames_u8.astype(jnp.float32), f, axis=0),
             m,
@@ -183,7 +188,8 @@ class SwapPipeline:
         b, t = kps.shape[:2]
         cs = cfg.crop_size
 
-        m = estimate_norm(kps.reshape(b * t, 5, 2), cs)  # (B*T,2,3)
+        m = estimate_norm(kps.reshape(b * t, 5, 2), cs,
+                          mode=cfg.align_mode)  # (B*T,2,3)
         frames_f = frames_u8.astype(jnp.float32)
         crops = warp_affine(jnp.repeat(frames_f, t, axis=0), m, (cs, cs))
 
