@@ -57,15 +57,17 @@ def _pasteback_kernel(m_ref, frame_ref, swapmask_ref, out_ref, *,
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
 
-    # flatten the crop to 2-D: Mosaic supports gathers of 2-D operands
+    # flatten the crop to 2-D and gather with 1-D indices — the only
+    # gather pattern Mosaic lowers (2-D operand, flat index vector)
     sm = swapmask_ref[0].astype(jnp.float32).reshape(crop * crop, 4)
+    th, w_ = tile_h, w
 
     def tap(yi, xi):
         valid = (yi >= 0) & (yi < crop) & (xi >= 0) & (xi < crop)
         yc = jnp.clip(yi, 0, crop - 1)
         xc = jnp.clip(xi, 0, crop - 1)
-        lin = yc * crop + xc  # (tile_h, W)
-        vals = sm[lin]  # 2-D-operand gather -> (tile_h, W, 4)
+        lin = (yc * crop + xc).reshape(th * w_)
+        vals = jnp.take(sm, lin, axis=0).reshape(th, w_, 4)
         return jnp.where(valid[..., None], vals, 0.0)
 
     v00 = tap(y0i, x0i)
