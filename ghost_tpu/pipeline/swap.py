@@ -37,7 +37,8 @@ from ghost_tpu.models.scrfd import SCRFD, decode_detections, preprocess_frames
 from ghost_tpu.nn.layers import resize
 from ghost_tpu.ops.mask import face_mask_batch
 from ghost_tpu.ops.umeyama import estimate_norm
-from ghost_tpu.ops.warp import warp_affine, warp_and_blend
+from ghost_tpu.ops.warp import (warp_affine, warp_and_blend,
+                                warp_and_blend_similarity)
 
 
 def _pick_tile(h: int, max_tile: int = 256, min_tile: int = 8) -> int:
@@ -61,7 +62,12 @@ class SwapConfig:
     gen_size: int = 256
     use_sr: bool = False
     mask_params: tuple = (5.0, 5.0, 5.0, 2.0)
-    use_pallas_pasteback: bool = True  # tiled kernel on TPU when tileable
+    # paste-back strategy: 'similarity' = rotation-in-crop-space + MXU
+    # tent matmuls (measured ~25x faster than the direct gather at
+    # 1080p, see ops/warp.py warp_and_blend_similarity); 'gather' = the
+    # exact single-resample reference path; 'pallas' = tiled kernel
+    # (interpret-correct; Mosaic gather support pending on this jax)
+    pasteback: str = "similarity"
     # 'None' = reference best-of-5-pose-templates (video_processing.py:133);
     # 'arcface' = frontal template only (1/5 the alignment work; faces in
     # video are near-frontal so the argmin almost always picks it anyway)
@@ -221,15 +227,17 @@ class SwapPipeline:
         mask = mask.reshape(b, t, cs, cs, 1)
         m = m.reshape(b, t, 2, 3)
         h = frames_f.shape[1]
-        tile = _pick_tile(h) if cfg.use_pallas_pasteback else 0
-        use_kernel = tile > 0 and jax.default_backend() == "tpu"
         for j in range(t):
-            if use_kernel:
+            if cfg.pasteback == "similarity":
+                out = warp_and_blend_similarity(
+                    out, swap224[:, j], mask[:, j], m[:, j],
+                    present=present[:, j])
+            elif cfg.pasteback == "pallas":
                 from ghost_tpu.ops.pallas.warp_kernel import pasteback_pallas
 
                 out = pasteback_pallas(out, swap224[:, j], mask[:, j],
                                        m[:, j], present=present[:, j],
-                                       tile_h=tile)
+                                       tile_h=_pick_tile(h))
             else:
                 out = warp_and_blend(out, swap224[:, j], mask[:, j], m[:, j],
                                      present=present[:, j])
