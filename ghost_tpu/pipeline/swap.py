@@ -72,6 +72,11 @@ class SwapConfig:
     # 'arcface' = frontal template only (1/5 the alignment work; faces in
     # video are near-frontal so the argmin almost always picks it anyway)
     align_mode: str = "None"
+    # stage-A matching crops sampled directly at 112 (the ArcFace input
+    # size) instead of 224-then-downsample: half the gather volume, same
+    # information content; affects MATCHING similarity only, never the
+    # generator/paste-back quality path
+    fast_match_crops: bool = True
 
 
 class SwapPipeline:
@@ -168,12 +173,17 @@ class SwapPipeline:
         # crops which lose the argmax anyway)
         m = estimate_norm(kps.reshape(b * f, 5, 2), cfg.crop_size,
                           mode=cfg.align_mode)
-        crops = warp_affine(
-            jnp.repeat(frames_u8.astype(jnp.float32), f, axis=0),
-            m,
-            (cfg.crop_size, cfg.crop_size),
-        )
-        embeds = self._embed_impl(variables, crops).reshape(b, f, -1)
+        frames_rep = jnp.repeat(frames_u8.astype(jnp.float32), f, axis=0)
+        if cfg.fast_match_crops:
+            half = jnp.asarray([[0.5], [0.5]], jnp.float32)
+            crops112 = warp_affine(frames_rep, m * half, (112, 112))
+            x = (crops112 / 255.0 - 0.5) / 0.5
+            e = self.arc_mod.apply(variables["arc"], x)
+            embeds = normalize_embedding(e).reshape(b, f, -1)
+        else:
+            crops = warp_affine(frames_rep, m,
+                                (cfg.crop_size, cfg.crop_size))
+            embeds = self._embed_impl(variables, crops).reshape(b, f, -1)
 
         sim = jnp.einsum("bfc,tc->bft", embeds, target_embeds)
         valid = (scores > 0)[:, :, None]
