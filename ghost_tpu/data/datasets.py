@@ -76,13 +76,25 @@ def _to_01(img: np.ndarray) -> np.ndarray:
     return img.astype(np.float32) / 255.0
 
 
+def random_rgb_to_bgr(img: np.ndarray, rng: random.Random,
+                      probability: float = 1 / 25) -> np.ndarray:
+    """Channel-swap augmentation (reference utils/training/helpers.py:258-269)."""
+    if rng.random() < probability:
+        return np.ascontiguousarray(img[:, :, ::-1])
+    return img
+
+
 class _PairDataset:
     """Shared item assembly: returns dict of numpy arrays."""
 
     jitter: bool = True
     normalize_pm1: bool = True
+    bgr_aug_prob: float = 0.0  # reference RandomRGBtoBGR uses 1/25
 
     def _assemble(self, xs_img, xt_img, same_person, rng):
+        if self.bgr_aug_prob > 0:
+            xs_img = random_rgb_to_bgr(xs_img, rng, self.bgr_aug_prob)
+            xt_img = random_rgb_to_bgr(xt_img, rng, self.bgr_aug_prob)
         if self.jitter:
             xs_a = color_jitter(xs_img, rng)
             xs_b = color_jitter(xs_img, rng)
