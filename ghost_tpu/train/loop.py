@@ -77,18 +77,24 @@ def train_loop(
     for epoch in range(cfg.max_epochs):
         for batch in batches:
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
-            state, metrics, y = jit_g(state, batch, dict(mults))
+            # multipliers enter as traced jnp scalars — python floats
+            # would bake into the program and force a retrace whenever a
+            # ratchet fires
+            traced_mults = {k: jnp.float32(v) for k, v in mults.items()}
+            state, metrics, y = jit_g(state, batch, traced_mults)
             if iteration % cfg.d_interval == 0:
                 state, loss_d = jit_d(state, y, batch["xs"])
                 metrics["lossD"] = loss_d
 
             if cfg.distill and cfg.ratchets:
-                # host-side multiplier ratchets (train.py:328-338)
+                # host-side multiplier ratchets (train.py:328-338):
+                # grow each multiplier until its weighted term clears
+                # the floor (id >= 200, id-vs-teacher >= 250)
                 mults["id"] = ratchet_multiplier(
                     float(metrics["L_id"]), mults["id"], 200.0)
-                if "L_teacher" in metrics:
+                if "L_id_hq" in metrics:
                     mults["id_hq"] = ratchet_multiplier(
-                        float(metrics.get("L_id", 0.0)), mults["id_hq"], 250.0)
+                        float(metrics["L_id_hq"]), mults["id_hq"], 250.0)
 
             if iteration % cfg.print_interval == 0:
                 batch_time = time.time() - t0

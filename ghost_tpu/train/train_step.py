@@ -189,7 +189,8 @@ def make_train_steps(
                 total = total + weights.universal * mults.get(
                     "round_trip", 1.0
                 ) * L.round_trip_loss(y_rt, xt)
-            aux.update({"L_teacher": l_teacher, "L_multi_round": l_multi})
+            aux.update({"L_teacher": l_teacher, "L_multi_round": l_multi,
+                        "L_id_hq": l_id_hq})
         else:
             raise ValueError(cfg.mode)
 
