@@ -240,11 +240,16 @@ def warp_and_blend_similarity(frame, swap, mask, m_crop, present=None,
     xs = jnp.arange(w, dtype=jnp.float32)
     row_pos = s[:, None] * ys[None, :] + cy[:, None] - u0  # (B,H)
     col_pos = s[:, None] * xs[None, :] + cx[:, None] - u0  # (B,W)
-    row_w = _tent_matrix(row_pos, grid).astype(swap.dtype)  # (B,H,grid)
-    col_w = _tent_matrix(col_pos, grid).astype(swap.dtype)  # (B,W,grid)
+    # bf16 operands + f32 accumulation: the tents/crop values need ~8
+    # mantissa bits (uint8-grade imagery), the MXU runs 2x faster
+    row_w = _tent_matrix(row_pos, grid).astype(jnp.bfloat16)  # (B,H,grid)
+    col_w = _tent_matrix(col_pos, grid).astype(jnp.bfloat16)  # (B,W,grid)
+    crop_rot16 = crop_rot.astype(jnp.bfloat16)
 
-    tmp = jnp.einsum("byj,bjic->byic", row_w, crop_rot)
-    warped = jnp.einsum("byic,bxi->byxc", tmp, col_w)  # (B,H,W,4)
+    tmp = jnp.einsum("byj,bjic->byic", row_w, crop_rot16,
+                     preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+    warped = jnp.einsum("byic,bxi->byxc", tmp, col_w,
+                        preferred_element_type=jnp.float32)  # (B,H,W,4)
 
     sw_t = warped[..., :3]
     mk_t = jnp.clip(warped[..., 3:4], 0.0, 1.0)
