@@ -61,6 +61,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_steps", default=None, type=int)
     p.add_argument("--bf16", default=True, type=bool)
     p.add_argument("--width", default=1.0, type=float)
+    p.add_argument("--arcface_depth", default="iresnet100",
+                   choices=["iresnet34", "iresnet50", "iresnet100", "tiny"],
+                   help="'tiny' is for smoke tests only")
     return p
 
 
@@ -80,7 +83,7 @@ def main(argv=None):
     )
     from ghost_tpu.data.loader import PrefetchLoader
     from ghost_tpu.models.aei import AEINet
-    from ghost_tpu.models.arcface import iresnet100
+    from ghost_tpu.models.arcface import IResNet, _DEPTHS
     from ghost_tpu.models.discriminator import MultiscaleDiscriminator
     from ghost_tpu.nn.layers import resize
     from ghost_tpu.train.loop import LoopConfig, train_loop
@@ -118,7 +121,9 @@ def main(argv=None):
     else:
         d_vars = disc.init(key, jnp.zeros((1, 256, 256, 3)))
 
-    arc = iresnet100(policy=policy)
+    arc_layers = (1, 1, 1, 1) if args.arcface_depth == "tiny" \
+        else _DEPTHS[args.arcface_depth]
+    arc = IResNet(layers=arc_layers, policy=policy)
     if args.arcface_path and args.arcface_path.endswith(".pth") and \
             __import__("os").path.exists(args.arcface_path):
         from ghost_tpu.convert.torch_loader import (

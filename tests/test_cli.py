@@ -1,0 +1,60 @@
+"""CLI wiring: parsers + a one-step training run end to end."""
+
+import numpy as np
+import pytest
+
+
+def test_inference_parser_reference_flags():
+    from ghost_tpu.cli.inference import build_parser
+
+    p = build_parser()
+    args = p.parse_args([
+        "--source_paths", "a.jpg", "b.jpg",
+        "--target_faces_paths", "t.jpg",
+        "--target_video", "in.mp4",
+        "--out_video_name", "out.mp4",
+        "--batch_size", "20",
+        "--similarity_th", "0.2",
+        "--backbone", "linknet",
+        "--num_blocks", "3",
+    ])
+    assert args.source_paths == ["a.jpg", "b.jpg"]
+    assert args.batch_size == 20
+    assert args.similarity_th == 0.2
+    assert args.backbone == "linknet"
+    assert args.crop_size == 224  # reference default
+
+
+def test_export_parser():
+    from ghost_tpu.cli.export import build_parser
+
+    args = build_parser().parse_args(["--model", "aei", "--out", "x.hlo"])
+    assert args.batch == -1
+
+
+def test_train_cli_one_step(tmp_path):
+    """Full train CLI on synthetic data: tiny models, 1 step."""
+    import cv2
+
+    d = tmp_path / "faces"
+    d.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        cv2.imwrite(str(d / f"{i}.jpg"),
+                    rng.integers(0, 255, (64, 64, 3), dtype=np.uint8))
+
+    from ghost_tpu.cli.train import main
+
+    main([
+        "--dataset_path", str(d),
+        "--batch_size", "2",
+        "--max_steps", "1",
+        "--width", "0.0625",
+        "--arcface_depth", "tiny",
+        "--bf16", "",
+        "--num_blocks", "1",
+        "--num_workers", "1",
+        "--run_name", str(tmp_path / "run"),
+        "--save_interval", "100000",
+        "--show_step", "100000",
+    ])
