@@ -19,7 +19,7 @@ never calls but ships (SURVEY.md §2.4):
 
 from __future__ import annotations
 
-from typing import Any, Callable, Sequence
+from typing import Callable, Sequence
 
 import flax.linen as nn
 import jax
@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from ghost_tpu.core.precision import Policy, DEFAULT_POLICY
 from ghost_tpu.ops.pallas.attention import flash_attention, flash_attention_reference
-from ghost_tpu.ops.pallas.layer_norm import fused_layer_norm, layer_norm_reference
+from ghost_tpu.ops.pallas.layer_norm import layer_norm_reference
 
 
 class MLP(nn.Module):

@@ -23,7 +23,6 @@ ops/pallas/warp_kernel.py for the 1080p hot path.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 

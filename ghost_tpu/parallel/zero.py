@@ -16,7 +16,6 @@ from __future__ import annotations
 from typing import Any
 
 import jax
-import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ghost_tpu.core.mesh import DATA_AXIS
