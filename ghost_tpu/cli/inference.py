@@ -44,6 +44,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--landmark_path", default="", help="landmark weights (msgpack)")
     p.add_argument("--sr_path", default="", help="SR generator weights")
     p.add_argument("--bf16", default=True, type=bool)
+    p.add_argument("--allow_random_weights", default=False, type=bool,
+                   help="run without checkpoints (smoke tests / demos)")
+    p.add_argument("--width", default=1.0, type=float,
+                   help="AEI channel multiplier (1.0 = reference)")
+    p.add_argument("--arcface_depth", default="iresnet100",
+                   choices=["iresnet34", "iresnet50", "iresnet100", "tiny"])
+    p.add_argument("--det_size", default=640, type=int)
     return p
 
 
@@ -59,31 +66,54 @@ def load_pipeline(args):
     )
     from ghost_tpu.core.checkpoint import load_msgpack
     from ghost_tpu.models.aei import AEINet
-    from ghost_tpu.models.arcface import iresnet100
+    from ghost_tpu.models.arcface import IResNet, _DEPTHS
     from ghost_tpu.models.landmark import Landmark106
     from ghost_tpu.models.scrfd import SCRFD
     from ghost_tpu.pipeline.swap import SwapConfig, SwapPipeline
 
     policy = DEFAULT_POLICY if args.bf16 else FULL_PRECISION
+    import os
+
     cfg = SwapConfig(
         crop_size=args.crop_size,
         similarity_th=args.similarity_th,
         chunk_size=args.batch_size,
         use_sr=bool(args.use_sr),
+        det_size=args.det_size,
     )
 
-    gen = AEINet(backbone=args.backbone, num_blocks=args.num_blocks, policy=policy)
-    gen_vars = jax.tree.map(
-        jnp.asarray,
-        convert_aei_state_dict(load_torch_checkpoint(args.G_path),
-                               backbone=args.backbone,
-                               num_blocks=args.num_blocks),
-    )
-    arc = iresnet100(policy=policy)
-    arc_vars = jax.tree.map(
-        jnp.asarray,
-        convert_arcface_state_dict(load_torch_checkpoint(args.arcface_path)),
-    )
+    gen = AEINet(backbone=args.backbone, num_blocks=args.num_blocks,
+                 policy=policy, width=args.width)
+    if os.path.exists(args.G_path):
+        gen_vars = jax.tree.map(
+            jnp.asarray,
+            convert_aei_state_dict(load_torch_checkpoint(args.G_path),
+                                   backbone=args.backbone,
+                                   num_blocks=args.num_blocks),
+        )
+    elif args.allow_random_weights:
+        print("WARNING: random generator weights")
+        gen_vars = gen.init(jax.random.key(0),
+                            jnp.zeros((1, cfg.gen_size, cfg.gen_size, 3)),
+                            jnp.zeros((1, 512)))
+    else:
+        raise SystemExit(f"missing --G_path {args.G_path!r} "
+                         "(pass --allow_random_weights 1 for a smoke run)")
+
+    arc_layers = (1, 1, 1, 1) if args.arcface_depth == "tiny" \
+        else _DEPTHS[args.arcface_depth]
+    arc = IResNet(layers=arc_layers, policy=policy)
+    if os.path.exists(args.arcface_path) and args.arcface_depth != "tiny":
+        arc_vars = jax.tree.map(
+            jnp.asarray,
+            convert_arcface_state_dict(load_torch_checkpoint(args.arcface_path),
+                                       layers=arc_layers),
+        )
+    elif args.allow_random_weights:
+        print("WARNING: random ArcFace weights")
+        arc_vars = arc.init(jax.random.key(0), jnp.zeros((1, 112, 112, 3)))
+    else:
+        raise SystemExit(f"missing --arcface_path {args.arcface_path!r}")
     det = SCRFD(policy=policy)
     if args.detector_path:
         det_vars = load_msgpack(args.detector_path)
@@ -121,16 +151,28 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     pipe = load_pipeline(args)
 
+    def crop_or_center(path: str) -> np.ndarray:
+        img = read_image_rgb(path)
+        crops, _scores = pipe.crop_faces(img)
+        if crops.shape[0]:
+            return crops[0]
+        # reference exits on "Bad source images!" (inference.py:66-68);
+        # with random detector weights fall back to a center crop so
+        # smoke runs stay usable
+        print(f"WARNING: no face found in {path}; using center crop")
+        h, w = img.shape[:2]
+        side = min(h, w)
+        y0, x0 = (h - side) // 2, (w - side) // 2
+        import cv2
+
+        sq = img[y0:y0 + side, x0:x0 + side]
+        return cv2.resize(sq, (pipe.cfg.crop_size, pipe.cfg.crop_size))
+
     print("List of source paths:", args.source_paths)
-    sources = np.stack(
-        [pipe.crop_faces(read_image_rgb(p))[0][0] for p in args.source_paths]
-    )
+    sources = np.stack([crop_or_center(p) for p in args.source_paths])
     targets = None
     if args.target_faces_paths:
-        targets = np.stack(
-            [pipe.crop_faces(read_image_rgb(p))[0][0]
-             for p in args.target_faces_paths]
-        )
+        targets = np.stack([crop_or_center(p) for p in args.target_faces_paths])
 
     start = time.time()
     if args.image_to_image:

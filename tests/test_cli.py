@@ -58,3 +58,32 @@ def test_train_cli_one_step(tmp_path):
         "--save_interval", "100000",
         "--show_step", "100000",
     ])
+
+
+def test_inference_cli_smoke(tmp_path):
+    """Full inference CLI on synthetic media with random tiny weights."""
+    import cv2
+
+    rng = np.random.default_rng(0)
+    src = tmp_path / "src.jpg"
+    cv2.imwrite(str(src), rng.integers(0, 255, (120, 140, 3), dtype=np.uint8))
+    tgt = tmp_path / "tgt.jpg"
+    cv2.imwrite(str(tgt), rng.integers(0, 255, (160, 180, 3), dtype=np.uint8))
+    out = tmp_path / "out.png"
+
+    from ghost_tpu.cli.inference import main
+
+    main([
+        "--source_paths", str(src),
+        "--image_to_image", "1",
+        "--target_image", str(tgt),
+        "--out_image_name", str(out),
+        "--allow_random_weights", "1",
+        "--width", "0.0625",
+        "--arcface_depth", "tiny",
+        "--det_size", "320",
+        "--batch_size", "1",
+        "--bf16", "",
+    ])
+    img = cv2.imread(str(out))
+    assert img is not None and img.shape == (160, 180, 3)
