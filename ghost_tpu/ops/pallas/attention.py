@@ -51,7 +51,7 @@ def flash_attention_reference(q, k, v, causal: bool = False,
                       v.astype(jnp.float32)).astype(q.dtype)
 
 
-def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int,
+def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int,
                       sm_scale: float, causal: bool, seq_len: int):
     """One (batch*head, q-block) program: stream K/V blocks, online softmax."""
     q = q_ref[0].astype(jnp.float32) * sm_scale  # (block_q, d)
@@ -99,6 +99,7 @@ def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int,
     a0 = jnp.zeros((block_q, d), jnp.float32)
     m, l, acc = jax.lax.fori_loop(0, upper, body, (m0, l0, a0))
     o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    lse_ref[0] = m + jnp.log(jnp.maximum(l, 1e-30))
 
 
 def _flash_forward(q, k, v, causal, sm_scale, block_q, block_k, interpret):
@@ -115,7 +116,7 @@ def _flash_forward(q, k, v, causal, sm_scale, block_q, block_k, interpret):
         _flash_fwd_kernel, block_k=bk, sm_scale=sm_scale, causal=causal,
         seq_len=s,
     )
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         kernel,
         grid=(b * h, s // bq),
         in_specs=[
@@ -126,12 +127,19 @@ def _flash_forward(q, k, v, causal, sm_scale, block_q, block_k, interpret):
             pl.BlockSpec((1, s, d), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b * h, s, d), q.dtype),
+        out_specs=[
+            pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, 1), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, s, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, s, 1), jnp.float32),
+        ],
         interpret=interpret,
     )(qr, kr, vr)
-    return out.reshape(b, h, s, d)
+    return out.reshape(b, h, s, d), lse.reshape(b, h, s, 1)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
@@ -140,31 +148,184 @@ def flash_attention(q, k, v, causal: bool = False,
                     block_q: int = DEFAULT_BLOCK_Q,
                     block_k: int = DEFAULT_BLOCK_K,
                     interpret: bool = False):
-    """(B,H,S,D) attention; Pallas forward, recompute backward."""
+    """(B,H,S,D) attention; Pallas forward AND backward kernels."""
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(q.shape[-1])
-    return _flash_forward(q, k, v, causal, sm_scale, block_q, block_k,
-                          interpret)
+    out, _ = _flash_forward(q, k, v, causal, sm_scale, block_q, block_k,
+                            interpret)
+    return out
 
 
 def _fwd(q, k, v, causal, sm_scale, block_q, block_k, interpret):
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(q.shape[-1])
-    out = _flash_forward(q, k, v, causal, sm_scale, block_q, block_k,
-                         interpret)
-    return out, (q, k, v)
+    out, lse = _flash_forward(q, k, v, causal, sm_scale, block_q, block_k,
+                              interpret)
+    return out, (q, k, v, out, lse)
+
+
+def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                         dq_ref, *, block_k: int, sm_scale: float,
+                         causal: bool, seq_len: int):
+    """dq for one (batch*head, q-block): stream K/V blocks.
+
+    ds = p * (do @ v^T - delta); dq = sum_blocks ds @ k * sm_scale,
+    with p rebuilt from the saved row log-sum-exp (flash bwd recurrence).
+    """
+    q = q_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0].astype(jnp.float32)  # (block_q, 1)
+    delta = delta_ref[0].astype(jnp.float32)  # (block_q, 1)
+    block_q, d = q.shape
+    q_idx = pl.program_id(1)
+    num_k_blocks = seq_len // block_k
+
+    def body(kb, dq):
+        k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * sm_scale
+        if causal:
+            rows = q_idx * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0)
+            cols = kb * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1)
+            s = jnp.where(rows >= cols, s, NEG_INF)
+        p = jnp.exp(s - lse)
+        dp = jax.lax.dot_general(do, v_blk, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        return dq + jax.lax.dot_general(ds, k_blk, (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+
+    if causal:
+        upper = q_idx * block_q // block_k + pl.cdiv(block_q, block_k)
+        upper = jnp.minimum(upper, num_k_blocks)
+    else:
+        upper = num_k_blocks
+    dq = jax.lax.fori_loop(0, upper, body,
+                           jnp.zeros((block_q, d), jnp.float32))
+    dq_ref[0] = (dq * sm_scale).astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                          dk_ref, dv_ref, *, block_q: int, sm_scale: float,
+                          causal: bool, seq_len: int):
+    """dk/dv for one (batch*head, k-block): stream Q/dO blocks."""
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    block_k, d = k.shape
+    k_idx = pl.program_id(1)
+    num_q_blocks = seq_len // block_q
+
+    def body(qb, carry):
+        dk, dv = carry
+        q_blk = q_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
+        do_blk = do_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
+        lse_blk = lse_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
+        delta_blk = delta_ref[0, pl.ds(qb * block_q, block_q), :].astype(
+            jnp.float32)
+        s = jax.lax.dot_general(q_blk, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * sm_scale
+        if causal:
+            rows = qb * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0)
+            cols = k_idx * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1)
+            s = jnp.where(rows >= cols, s, NEG_INF)
+        p = jnp.exp(s - lse_blk)  # (block_q, block_k)
+        dv = dv + jax.lax.dot_general(p, do_blk, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do_blk, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta_blk)
+        dk = dk + jax.lax.dot_general(ds, q_blk, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+        return dk, dv
+
+    if causal:
+        # q blocks at or after this k block contribute
+        lower = (k_idx * block_k) // block_q
+    else:
+        lower = 0
+    dk0 = jnp.zeros((block_k, d), jnp.float32)
+    dv0 = jnp.zeros((block_k, d), jnp.float32)
+    dk, dv = jax.lax.fori_loop(lower, num_q_blocks, body, (dk0, dv0))
+    dk_ref[0] = (dk * sm_scale).astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
 def _bwd(causal, sm_scale, block_q, block_k, interpret, res, g):
-    q, k, v = res
+    q, k, v, out, lse = res
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(q.shape[-1])
+    b, h, s, d = q.shape
+    bq = min(block_q, s)
+    bk = min(block_k, s)
 
-    def ref(q_, k_, v_):
-        return flash_attention_reference(q_, k_, v_, causal, sm_scale)
+    # delta = rowsum(do * o), the softmax-grad correction term
+    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32),
+                    axis=-1, keepdims=True)
 
-    _, vjp = jax.vjp(ref, q, k, v)
-    return vjp(g)
+    qr = q.reshape(b * h, s, d)
+    kr = k.reshape(b * h, s, d)
+    vr = v.reshape(b * h, s, d)
+    dor = g.reshape(b * h, s, d)
+    lser = lse.reshape(b * h, s, 1)
+    deltar = delta.reshape(b * h, s, 1)
+
+    full = lambda i, j: (i, 0, 0)
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, block_k=bk,
+                          sm_scale=sm_scale, causal=causal, seq_len=s),
+        grid=(b * h, s // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, d), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, d), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, 1), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, 1), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, s, d), q.dtype),
+        interpret=interpret,
+    )(qr, kr, vr, dor, lser, deltar)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, block_q=bq,
+                          sm_scale=sm_scale, causal=causal, seq_len=s),
+        grid=(b * h, s // bk),
+        in_specs=[
+            pl.BlockSpec((1, s, d), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, d), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, 1), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, 1), full, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bk, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, s, d), k.dtype),
+            jax.ShapeDtypeStruct((b * h, s, d), v.dtype),
+        ],
+        interpret=interpret,
+    )(qr, kr, vr, dor, lser, deltar)
+
+    return (dq.reshape(b, h, s, d), dk.reshape(b, h, s, d),
+            dv.reshape(b, h, s, d))
 
 
 flash_attention.defvjp(_fwd, _bwd)

@@ -87,3 +87,21 @@ def test_fused_layer_norm_nd_input(rng):
                                jnp.asarray(beta))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_flash_attention_grad_causal(rng):
+    q = jnp.asarray(rng.standard_normal((1, 2, 256, 64), dtype=np.float32))
+    k = jnp.asarray(rng.standard_normal((1, 2, 256, 64), dtype=np.float32))
+    v = jnp.asarray(rng.standard_normal((1, 2, 256, 64), dtype=np.float32))
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, True, None, 128, 128, True) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(flash_attention_reference(q, k, v, True) ** 2)
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-3)
