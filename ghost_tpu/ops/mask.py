@@ -173,3 +173,71 @@ def face_mask_batch(landmarks, size: int = 224, params=(5.0, 5.0, 5.0, 2.0)):
     erode, sx, sy, mod = params
     fn = lambda lm: soft_face_mask(lm, size, erode, sx, sy, mod)
     return jax.vmap(fn)(jnp.asarray(landmarks, jnp.float32))[..., None]
+
+
+# ---------------------------------------------------------------------------
+# Dynamic-parameter variant: per-shot params as traced scalars
+# ---------------------------------------------------------------------------
+
+
+def _gauss_weights_dynamic(sigma, radius: int):
+    """Tent-free gaussian weights for a traced sigma with static support."""
+    x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    w = jnp.exp(-(x * x) / (2.0 * jnp.maximum(sigma, 1e-3) ** 2))
+    return w / jnp.sum(w)
+
+
+def _blur_axis_dynamic(x, sigma, radius: int, axis: int):
+    k = _gauss_weights_dynamic(sigma, radius)
+    x_m = jnp.moveaxis(x, axis, -1)
+    shape = x_m.shape
+    flat = x_m.reshape(-1, 1, shape[-1])
+    out = jax.lax.conv_general_dilated(
+        flat, k.reshape(1, 1, -1), (1,), ((radius, radius),),
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    )
+    return jnp.moveaxis(out.reshape(shape), -1, axis)
+
+
+def soft_face_mask_dynamic(landmarks, size: int = 224, erode=5.0,
+                           sigma_x=5.0, sigma_y=5.0, eyebrow_mod=2.0,
+                           max_radius: int = 64):
+    """face_mask_static with TRACED shot parameters.
+
+    Unlike `soft_face_mask` (whose sigmas are compile-time constants),
+    every parameter here may be a traced scalar, so the reference's
+    per-shot parameter selection (masks.py:44-76, cached across frames
+    at video_processing.py:204,220-223) can run on the host and feed the
+    jitted step without retracing. Static costs: the gaussian support is
+    fixed at max_radius taps (weights depend on the traced sigma), and
+    the border fade is a distance threshold instead of slicing.
+    """
+    erode = jnp.asarray(erode, jnp.float32)
+    sigma_x = jnp.asarray(sigma_x, jnp.float32)
+    sigma_y = jnp.asarray(sigma_y, jnp.float32)
+    eyebrow_mod = jnp.asarray(eyebrow_mod, jnp.float32)
+
+    lm = expand_eyebrows(landmarks, eyebrow_mod)
+    sd = _signed_dist_to_hull(lm, size)
+    mask = (sd >= erode).astype(jnp.float32)
+
+    # border fade: zero everything within 2*sigma_y of any edge
+    ys = jnp.arange(size, dtype=jnp.float32)
+    border_dist = jnp.minimum(ys, size - 1 - ys)
+    clip = 2.0 * sigma_y
+    fade = (border_dist[:, None] >= clip) & (border_dist[None, :] >= clip)
+    mask = mask * fade.astype(jnp.float32)
+
+    mask = _blur_axis_dynamic(mask, sigma_y, max_radius, axis=0)
+    mask = _blur_axis_dynamic(mask, sigma_x, max_radius, axis=1)
+    return jnp.clip(mask, 0.0, 1.0)
+
+
+def mask_offset_from_landmarks(landmarks_swap, landmarks_tgt):
+    """The shot-level x-offset statistic driving parameter selection
+    (masks.py:44-47): max of summed left/right landmark x-differences."""
+    lm = jnp.asarray(landmarks_swap, jnp.float32)
+    lt = jnp.asarray(landmarks_tgt, jnp.float32)
+    left = (lm[1, 0] - lt[1, 0]) + (lm[2, 0] - lt[2, 0]) + (lm[13, 0] - lt[13, 0])
+    right = (lt[17, 0] - lm[17, 0]) + (lt[18, 0] - lm[18, 0]) + (lt[29, 0] - lm[29, 0])
+    return jnp.maximum(left, right)

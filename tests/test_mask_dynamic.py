@@ -1,0 +1,57 @@
+"""Dynamic-parameter soft mask: traced params match the static version."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ghost_tpu.ops.mask import (
+    mask_offset_from_landmarks,
+    mask_params_from_offset,
+    soft_face_mask,
+    soft_face_mask_dynamic,
+)
+
+
+def circle_landmarks(r=60.0, c=112.0):
+    th = np.linspace(0, 2 * np.pi, 106, endpoint=False)
+    return np.stack([c + r * np.cos(th), c + r * np.sin(th)], axis=1)
+
+
+def test_dynamic_matches_static():
+    lm = jnp.asarray(circle_landmarks(), jnp.float32)
+    static = np.asarray(soft_face_mask(lm, 224, erode=5.0, sigma_x=5.0,
+                                       sigma_y=5.0, eyebrow_mod=0.0))
+    dynamic = np.asarray(soft_face_mask_dynamic(
+        lm, 224, erode=jnp.float32(5.0), sigma_x=jnp.float32(5.0),
+        sigma_y=jnp.float32(5.0), eyebrow_mod=jnp.float32(0.0)))
+    # static uses cv2-rule kernel radius (4*sigma), dynamic a fixed wide
+    # support; difference is tail truncation only
+    assert np.abs(static - dynamic).max() < 0.02
+
+
+def test_dynamic_params_traced_no_retrace():
+    lm = jnp.asarray(circle_landmarks(), jnp.float32)
+    traces = []
+
+    @jax.jit
+    def f(lm, erode, sx, sy, mod):
+        traces.append(1)
+        return soft_face_mask_dynamic(lm, 224, erode, sx, sy, mod)
+
+    for params in [(5.0, 5.0, 5.0, 2.0), (15.0, 15.0, 10.0, 2.7),
+                   (-5.0, 5.0, 10.0, 0.5)]:
+        out = f(lm, *[jnp.float32(p) for p in params])
+        assert np.isfinite(np.asarray(out)).all()
+    assert len(traces) == 1  # one trace across all parameter sets
+
+
+def test_offset_statistic_and_selection():
+    lm_swap = circle_landmarks()
+    lm_tgt = circle_landmarks()
+    lm_swap[[1, 2, 13], 0] += 3.0  # push left stats positive
+    off = float(mask_offset_from_landmarks(jnp.asarray(lm_swap),
+                                           jnp.asarray(lm_tgt)))
+    assert off > 6.0
+    assert mask_params_from_offset(off) == (15.0, 15.0, 10.0, 2.7)
+    assert mask_params_from_offset(0.0) == (5.0, 5.0, 5.0, 2.0)
+    assert mask_params_from_offset(-5.0) == (-5.0, 5.0, 10.0, 0.5)
