@@ -33,7 +33,7 @@ def main():
     from ghost_tpu.core.precision import DEFAULT_POLICY
     from ghost_tpu.pipeline.swap import SwapConfig, build_random_pipeline
 
-    chunk = 64  # larger chunks amortize the ~30ms per-dispatch relay cost
+    chunk = 32  # chunk 64 exhausts HBM in the f32 blend intermediates
     cfg = SwapConfig(chunk_size=chunk, max_faces=4, crop_size=224)
     pipe = build_random_pipeline(
         cfg, policy=DEFAULT_POLICY, arcface_layers=(3, 13, 30, 3)
