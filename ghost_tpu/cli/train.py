@@ -39,6 +39,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--show_step", default=250, type=int)
     p.add_argument("--save_interval", default=2500, type=int)
     p.add_argument("--run_name", default="ghost", type=str)
+    p.add_argument("--output_dir", default="./output", type=str)
     p.add_argument("--backbone", default="unet",
                    choices=["unet", "linknet", "resnet"])
     p.add_argument("--num_blocks", default=2, type=int)
@@ -206,6 +207,7 @@ def main(argv=None):
         max_epochs=args.max_epochs, d_interval=args.d_interval,
         show_step=args.show_step, save_interval=args.save_interval,
         run_name=args.run_name, distill=(mode != "canonical"),
+        output_dir=args.output_dir,
     )
     state, metrics = train_loop(state, g_step, d_step, batch_iter, loop_cfg,
                                 checkpoint_manager=ckpt,

@@ -57,6 +57,7 @@ def test_train_cli_one_step(tmp_path):
         "--run_name", str(tmp_path / "run"),
         "--save_interval", "100000",
         "--show_step", "100000",
+        "--output_dir", str(tmp_path / "out"),
     ])
 
 
