@@ -33,8 +33,12 @@ def main():
     from ghost_tpu.core.precision import DEFAULT_POLICY
     from ghost_tpu.pipeline.swap import SwapConfig, build_random_pipeline
 
-    chunk = 32  # chunk 64 exhausts HBM in the f32 blend intermediates
-    cfg = SwapConfig(chunk_size=chunk, max_faces=4, crop_size=224)
+    # chunk 64 fits HBM now that stage B keeps frames uint8 and every
+    # full-frame intermediate is bf16; match_faces=2 embeds only the two
+    # top-scored face lanes (T=1 target) instead of all 4
+    chunk = 64
+    cfg = SwapConfig(chunk_size=chunk, max_faces=4, crop_size=224,
+                     match_faces=2)
     pipe = build_random_pipeline(
         cfg, policy=DEFAULT_POLICY, arcface_layers=(3, 13, 30, 3)
     )

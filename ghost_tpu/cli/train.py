@@ -186,18 +186,21 @@ def main(argv=None):
             b["embed"] = np.asarray(embed_fn(jnp.asarray(b["xs_arcface"])))
             yield b
 
-    batch_iter = with_embeds(iter(loader))
+    teacher = None
     if mode == "distill":
-        from ghost_tpu.train.distill import (
-            OnnxInswapperTeacher, TeacherPrefetcher, onnx_teacher_available)
+        from ghost_tpu.train.distill import build_inswapper_teacher
 
-        if not onnx_teacher_available() or not args.teacher_onnx:
-            raise SystemExit(
-                "--mode distill needs onnxruntime and --teacher_onnx; "
-                "use --mode self for the on-device teacher instead"
-            )
-        teacher = OnnxInswapperTeacher(args.teacher_onnx)
-        batch_iter = iter(TeacherPrefetcher(teacher, batch_iter))
+        teacher = build_inswapper_teacher(args.teacher_onnx)
+
+    def batch_iter():
+        # fresh iterator per epoch: a one-shot generator here would
+        # silently end training after a single dataset pass
+        it = with_embeds(iter(loader))
+        if teacher is not None:
+            from ghost_tpu.train.distill import TeacherPrefetcher
+
+            it = iter(TeacherPrefetcher(teacher, it))
+        return it
 
     ckpt = CheckpointManager(
         f"{args.run_name}_ckpt" if not args.run_name.startswith("/")

@@ -294,7 +294,11 @@ def preprocess_frames(frames_rgb_uint8, det_size: int = 640):
     nh, nw = int(round(h * scale)), int(round(w * scale))
     from ghost_tpu.nn.layers import resize
 
-    x = resize(frames_rgb_uint8.astype(jnp.float32), (nh, nw), method="bilinear")
-    canvas = jnp.zeros((b, det_size, det_size, 3), jnp.float32)
+    # bf16 end-to-end: the u8->f32 cast of a full 1080p chunk is a
+    # 1.6 GB HBM buffer at chunk 64; bf16 halves it and the detector
+    # computes in bf16 anyway
+    x = resize(frames_rgb_uint8.astype(jnp.bfloat16), (nh, nw),
+               method="bilinear")
+    canvas = jnp.zeros((b, det_size, det_size, 3), jnp.bfloat16)
     canvas = canvas.at[:, :nh, :nw, :].set(x)
     return (canvas - 127.5) / 128.0, scale

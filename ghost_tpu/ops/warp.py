@@ -24,6 +24,7 @@ ops/pallas/warp_kernel.py for the 1080p hot path.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 
 def invert_affine(m):
@@ -180,6 +181,103 @@ def _tent_matrix(positions, grid: int):
     return jnp.maximum(0.0, 1.0 - jnp.abs(positions[..., None] - k))
 
 
+def warp_affine_similarity(frames, m, out_size: int, grid: int | None = None,
+                           compute_dtype=jnp.bfloat16, subpix: int = 1):
+    """Crop extraction for SIMILARITY matrices, gather-free on the frame.
+
+    The inverse of a similarity M = s*R + t is itself a similarity:
+    M^-1 p = (1/s) R^T (p - t). Factoring through q = R^T p_crop (a pure
+    rotation of the CROP coordinates), the frame sampling position is
+    axis-aligned in q: f(q) = (1/s) q + t2 with t2 = -(1/s) R^T t. So:
+
+      1. evaluate the axis-aligned part as two dense tent-matrix einsums
+         over the frame (the tent rows ARE bilinear interpolation, and
+         positions outside [0, H-1] decay exactly like a zero border);
+      2. resample the small (grid x grid) intermediate under the pure
+         rotation R^T — a gather over a table ~30x smaller than the
+         frame (the expensive direction on TPU is gathering from the
+         large frame, measured in ops/warp.py header notes).
+
+    This is the crop-direction mirror of `warp_and_blend_similarity`
+    (same window-coverage argument: grid/2 >= out_size/sqrt(2) makes the
+    centered q-window contain the rotated crop for every angle).
+
+    frames: (B, H, W, C); m: (B, T, 2, 3) forward frame->crop similarity
+    matrices — T faces per frame share the frame WITHOUT replicating it
+    (the einsum contracts each frame against T row matrices).
+    Returns (B*T, out_size, out_size, C) float32 crops, frame-major like
+    jnp.repeat(frames, T) would produce.
+
+    Numerics: one extra bilinear resample versus cv2.warpAffine — for
+    pure-scale matrices the intermediate lands on exact grid points and
+    the result matches warp_affine to compute_dtype precision
+    (tests/test_similarity_crops.py). Under rotation the intermediate
+    quantizes sample positions to the q-grid (spacing 1 crop px);
+    `subpix` oversamples the q-grid by that integer factor, shrinking
+    the interpolation error ~quadratically at linear einsum cost — use
+    subpix=2 on quality-bearing paths. Near the frame border the 1-px
+    constant-border transition of cv2 widens to ~1/s px (the tent decay
+    happens in frame space before the rotation resample).
+    """
+    b, h, w, c = frames.shape
+    m = jnp.asarray(m, jnp.float32)
+    if m.ndim == 3:
+        m = m[:, None]
+    t_faces = m.shape[1]
+    if grid is None:
+        grid = int(np.ceil(out_size * np.sqrt(2) / 32.0)) * 32
+    assert grid / 2 >= out_size / 2 * np.sqrt(2) - 1e-3, (grid, out_size)
+
+    a = m[..., 0, 0]  # (B,T)
+    bb = m[..., 1, 0]
+    t = m[..., :, 2]  # (B,T,2) [tx, ty]
+    s = jnp.sqrt(a * a + bb * bb)
+    inv_s = 1.0 / jnp.maximum(s, 1e-12)
+    cos = a * inv_s
+    sin = bb * inv_s
+
+    q0 = (out_size - grid) / 2.0  # window centered on the crop
+    # rotate about the CROP CENTER pc, not the origin: q = pc + R^T(p-pc).
+    # Only then does the centered window cover the rotated crop for
+    # every angle (|q - pc| <= (out/2)*sqrt(2) < grid/2); rotation about
+    # the origin sweeps q across [-out/sqrt(2), out*sqrt(2)] over angles.
+    pc = (out_size - 1) / 2.0
+    # frame position of q: f(q) = (1/s) R^T (p - t) with p = pc + R(q-pc)
+    #                    = (1/s) q + (1/s) (R^T(pc - t) - pc)
+    t2x = ((cos * (pc - t[..., 0]) + sin * (pc - t[..., 1])) - pc) * inv_s
+    t2y = ((-sin * (pc - t[..., 0]) + cos * (pc - t[..., 1])) - pc) * inv_s
+
+    n_q = grid * subpix
+    qs = jnp.arange(n_q, dtype=jnp.float32) / subpix + q0  # (g*subpix,)
+    # frame positions of the q-grid lines (B,T,g*subpix)
+    row_pos = inv_s[..., None] * qs + t2y[..., None]  # into H
+    col_pos = inv_s[..., None] * qs + t2x[..., None]  # into W
+    row_w = _tent_matrix(row_pos, h).astype(compute_dtype)  # (B,T,g,H)
+    col_w = _tent_matrix(col_pos, w).astype(compute_dtype)  # (B,T,g,W)
+
+    fr = frames.astype(compute_dtype)
+    inter = jnp.einsum("btgh,bhwc->btgwc", row_w, fr,
+                       preferred_element_type=jnp.float32)
+    inter = inter.astype(compute_dtype)
+    inter = jnp.einsum("btgwc,btkw->btgkc", inter, col_w,
+                       preferred_element_type=jnp.float32)
+    # inter[b,t,j,k,c] = image at q = (q0+k/sub, q0+j/sub)  (k~x, j~y)
+    inter = inter.reshape(b * t_faces, n_q, n_q, c)
+
+    # rotation resample: crop[y,x] = inter at (q(p) - q0)*subpix, q = R^T p
+    ys, xs = jnp.meshgrid(
+        jnp.arange(out_size, dtype=jnp.float32),
+        jnp.arange(out_size, dtype=jnp.float32),
+        indexing="ij",
+    )
+    cosf = cos.reshape(-1)[:, None, None]
+    sinf = sin.reshape(-1)[:, None, None]
+    qx = (cosf * (xs - pc) + sinf * (ys - pc) + pc - q0) * subpix
+    qy = (-sinf * (xs - pc) + cosf * (ys - pc) + pc - q0) * subpix
+    out = _sample_bilinear_batch(inter, qx, qy, "constant", 0.0)
+    return out.astype(jnp.float32)
+
+
 def warp_and_blend_similarity(frame, swap, mask, m_crop, present=None,
                               grid: int = 320):
     """Paste-back for SIMILARITY alignment matrices, gather-free on the
@@ -187,8 +285,10 @@ def warp_and_blend_similarity(frame, swap, mask, m_crop, present=None,
 
     Exploits that estimate_norm produces exact similarities
     A = s*R(theta): p_crop = A p_frame + t factors through an
-    axis-aligned intermediate u = s*p_frame + R^-1 t with p_crop = R u.
-    So:
+    axis-aligned intermediate u = pc + R^-1 (A p_frame + t - pc) with
+    p_crop = pc + R (u - pc), where pc is the crop center — rotating
+    about the crop center (not the origin) is what makes the centered
+    u-window cover the crop for EVERY angle. So:
       1. resample the crop under the pure rotation R onto a static
          (grid x grid) u-window (a small gather: grid^2 pixels per face
          instead of H*W per frame — ~30x fewer);
@@ -218,23 +318,25 @@ def warp_and_blend_similarity(frame, swap, mask, m_crop, present=None,
     sin = bb / jnp.maximum(s, 1e-12)
 
     u0 = (crop - grid) / 2.0  # center the window on the crop
+    pc = (crop - 1) / 2.0  # rotation center: the crop center
 
     # ---- step 1: rotation resample of [swap|mask] onto the u-grid
     uu, vv = jnp.meshgrid(
-        jnp.arange(grid, dtype=jnp.float32) + u0,
-        jnp.arange(grid, dtype=jnp.float32) + u0,
+        jnp.arange(grid, dtype=jnp.float32) + u0 - pc,
+        jnp.arange(grid, dtype=jnp.float32) + u0 - pc,
         indexing="xy",
-    )  # uu: x-coords (grid,grid), vv: y-coords
-    # p_crop = R u  (per image): x_c = cos*u - sin*v ; y_c = sin*u + cos*v
-    xc = cos[:, None, None] * uu - sin[:, None, None] * vv
-    yc = sin[:, None, None] * uu + cos[:, None, None] * vv
+    )  # uu: x-coords relative to pc (grid,grid), vv: y-coords
+    # p_crop = pc + R (u - pc):
+    #   x_c = pc + cos*(u-pc) - sin*(v-pc); y_c = pc + sin*(u-pc) + cos*(v-pc)
+    xc = cos[:, None, None] * uu - sin[:, None, None] * vv + pc
+    yc = sin[:, None, None] * uu + cos[:, None, None] * vv + pc
     sm = jnp.concatenate([swap, mask.astype(swap.dtype)], axis=-1)
     crop_rot = _sample_bilinear_batch(sm, xc, yc, "constant", 0.0)
 
     # ---- step 2: axis-aligned tent matmuls
-    # u(p_f) = s*p_f + R^-1 t ; (R^-1 t) = [cos*tx + sin*ty, -sin*tx + cos*ty]
-    cx = cos * t[:, 0] + sin * t[:, 1]
-    cy = -sin * t[:, 0] + cos * t[:, 1]
+    # u(p_f) = pc + R^-1 (s R p_f + t - pc) = s*p_f + pc + R^-1 (t - pc)
+    cx = cos * (t[:, 0] - pc) + sin * (t[:, 1] - pc) + pc
+    cy = -sin * (t[:, 0] - pc) + cos * (t[:, 1] - pc) + pc
     ys = jnp.arange(h, dtype=jnp.float32)
     xs = jnp.arange(w, dtype=jnp.float32)
     row_pos = s[:, None] * ys[None, :] + cy[:, None] - u0  # (B,H)
@@ -247,8 +349,14 @@ def warp_and_blend_similarity(frame, swap, mask, m_crop, present=None,
 
     tmp = jnp.einsum("byj,bjic->byic", row_w, crop_rot16,
                      preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+    # keep the full-frame warped buffer in bf16: at chunk 64 the f32
+    # (B,H,W,4) intermediate alone is 2.1 GB and exhausts HBM; bf16
+    # halves every full-frame buffer in the blend and the sums behind it
+    # are <= 4-term tent combinations of uint8-scale values (exact f32
+    # accumulation on the MXU, only the final store is rounded)
     warped = jnp.einsum("byic,bxi->byxc", tmp, col_w,
-                        preferred_element_type=jnp.float32)  # (B,H,W,4)
+                        preferred_element_type=jnp.float32)
+    warped = warped.astype(jnp.bfloat16)  # (B,H,W,4)
 
     sw_t = warped[..., :3]
     mk_t = jnp.clip(warped[..., 3:4], 0.0, 1.0)

@@ -37,8 +37,8 @@ from ghost_tpu.models.scrfd import SCRFD, decode_detections, preprocess_frames
 from ghost_tpu.nn.layers import resize
 from ghost_tpu.ops.mask import face_mask_batch
 from ghost_tpu.ops.umeyama import estimate_norm
-from ghost_tpu.ops.warp import (warp_affine, warp_and_blend,
-                                warp_and_blend_similarity)
+from ghost_tpu.ops.warp import (warp_affine, warp_affine_similarity,
+                                warp_and_blend, warp_and_blend_similarity)
 
 
 def _pick_tile(h: int, max_tile: int = 256, min_tile: int = 8) -> int:
@@ -77,6 +77,22 @@ class SwapConfig:
     # information content; affects MATCHING similarity only, never the
     # generator/paste-back quality path
     fast_match_crops: bool = True
+    # crop extraction strategy: 'similarity' = axis-aligned MXU tent
+    # matmuls + small rotation resample (ops/warp.py
+    # warp_affine_similarity — the crop-direction mirror of the
+    # similarity paste-back); 'gather' = direct single-resample
+    # cv2-parity warp
+    crop_mode: str = "similarity"
+    # stage-A MATCHING crops sample from an area-downsampled frame
+    # (1 = full res). Embedding crops are 112 px from faces typically
+    # >= 200 px, so 2x downsample loses nothing the ArcFace resize
+    # wouldn't; affects matching similarity only, never quality
+    match_downsample: int = 2
+    # embed only the top-K score-sorted face lanes in stage A (None =
+    # all max_faces lanes, exact reference semantics). Frames rarely
+    # hold more real faces than targets; K >= actual face count is
+    # lossless, so K = targets+1 is a safe speed knob for the bench
+    match_faces: int | None = None
 
 
 class SwapPipeline:
@@ -168,30 +184,52 @@ class SwapPipeline:
         )
         kps = kps / scale  # back to frame coordinates
         b, f = scores.shape
+        h, w = frames_u8.shape[1:3]
 
-        # align + crop every face lane (masked lanes produce garbage
-        # crops which lose the argmax anyway)
-        m = estimate_norm(kps.reshape(b * f, 5, 2), cfg.crop_size,
+        # align + crop the top-K face lanes (lanes are score-sorted by
+        # decode_detections; masked lanes produce garbage crops which
+        # lose the argmax anyway)
+        k = f if cfg.match_faces is None else min(cfg.match_faces, f)
+        kps_k = kps[:, :k]
+        m = estimate_norm(kps_k.reshape(b * k, 5, 2), cfg.crop_size,
                           mode=cfg.align_mode)
-        frames_rep = jnp.repeat(frames_u8.astype(jnp.float32), f, axis=0)
-        if cfg.fast_match_crops:
-            half = jnp.asarray([[0.5], [0.5]], jnp.float32)
-            crops112 = warp_affine(frames_rep, m * half, (112, 112))
-            x = (crops112 / 255.0 - 0.5) / 0.5
-            e = self.arc_mod.apply(variables["arc"], x)
-            embeds = normalize_embedding(e).reshape(b, f, -1)
+        crop_px = 112 if cfg.fast_match_crops else cfg.crop_size
+        m = m * (crop_px / cfg.crop_size)
+
+        d = cfg.match_downsample
+        if d > 1 and h % d == 0 and w % d == 0:
+            # matching crops from an area-downsampled frame: the frame
+            # reduce is one shared pair of matmuls instead of K
+            # frame-sized warps; half->full pixel centers are
+            # x_full = d*x_half + (d-1)/2, folded into the matrices
+            small = resize(frames_u8.astype(jnp.bfloat16),
+                           (h // d, w // d), method="area")
+            a_part = m[..., :2]
+            t_part = m[..., 2] + (d - 1) / 2.0 * (
+                a_part[..., 0] + a_part[..., 1])
+            m = jnp.concatenate([a_part * d, t_part[..., None]], axis=-1)
         else:
-            crops = warp_affine(frames_rep, m,
-                                (cfg.crop_size, cfg.crop_size))
-            embeds = self._embed_impl(variables, crops).reshape(b, f, -1)
+            small = frames_u8
+
+        if cfg.crop_mode == "similarity":
+            crops = warp_affine_similarity(
+                small, m.reshape(b, k, 2, 3), crop_px)
+        else:
+            rep = jnp.repeat(small.astype(jnp.float32), k, axis=0)
+            crops = warp_affine(rep, m, (crop_px, crop_px))
+        x = (crops / 255.0 - 0.5) / 0.5
+        if not cfg.fast_match_crops:
+            x = resize(x, (112, 112), method="bilinear", align_corners=True)
+        e = self.arc_mod.apply(variables["arc"], x)
+        embeds = normalize_embedding(e).reshape(b, k, -1)
 
         sim = jnp.einsum("bfc,tc->bft", embeds, target_embeds)
-        valid = (scores > 0)[:, :, None]
+        valid = (scores[:, :k] > 0)[:, :, None]
         sim = jnp.where(valid, sim, -1.0)
         best = jnp.argmax(sim, axis=1)  # (B,T)
         best_sim = jnp.take_along_axis(sim, best[:, None, :], axis=1)[:, 0, :]
         best_kps = jnp.take_along_axis(
-            kps, best[..., None, None], axis=1
+            kps_k, best[..., None, None], axis=1
         )
         return best_kps, best_sim, scores, kps
 
@@ -206,8 +244,14 @@ class SwapPipeline:
 
         m = estimate_norm(kps.reshape(b * t, 5, 2), cs,
                           mode=cfg.align_mode)  # (B*T,2,3)
-        frames_f = frames_u8.astype(jnp.float32)
-        crops = warp_affine(jnp.repeat(frames_f, t, axis=0), m, (cs, cs))
+        if cfg.crop_mode == "similarity":
+            # tent-matmul crop extraction: no (B*T,H,W,3) f32 frame
+            # replication, no frame-sized gathers
+            crops = warp_affine_similarity(frames_u8, m.reshape(b, t, 2, 3),
+                                           cs, subpix=2)
+        else:
+            frames_f = frames_u8.astype(jnp.float32)
+            crops = warp_affine(jnp.repeat(frames_f, t, axis=0), m, (cs, cs))
 
         # generator input: 256, [-1,1]
         gen_in = resize(crops / 255.0, (cfg.gen_size, cfg.gen_size),
@@ -231,12 +275,14 @@ class SwapPipeline:
         # iterative per-target blend keeps frame-major layout: blend
         # target 0 into frames, then target 1 into the result, matching
         # the reference's sequential per-identity paste-back
-        # (video_processing.py:210-235)
-        out = frames_f
+        # (video_processing.py:210-235). Frames enter as uint8 and the
+        # blend runs bf16 so no full-frame f32 buffer ever materializes
+        # (HBM headroom is what gates the chunk size).
+        out = frames_u8
         swap224 = swap224.reshape(b, t, cs, cs, 3)
         mask = mask.reshape(b, t, cs, cs, 1)
         m = m.reshape(b, t, 2, 3)
-        h = frames_f.shape[1]
+        h = frames_u8.shape[1]
         for j in range(t):
             if cfg.pasteback == "similarity":
                 out = warp_and_blend_similarity(

@@ -66,7 +66,13 @@ def train_loop(
     checkpoint_manager=None,
     max_steps: Optional[int] = None,
 ):
-    """Run the GAN loop over an iterable of batches. Returns final state."""
+    """Run the GAN loop. Returns final state.
+
+    `batches` is either a re-iterable (e.g. PrefetchLoader) or a
+    zero-arg factory returning a fresh iterator — NOT a one-shot
+    generator: epochs past the first would silently iterate an
+    exhausted generator and the run would end after one dataset pass.
+    """
     jit_g = jax.jit(g_step)
     jit_d = jax.jit(d_step)
     mults = default_distill_mults()
@@ -75,7 +81,10 @@ def train_loop(
     t0 = time.time()
 
     for epoch in range(cfg.max_epochs):
-        for batch in batches:
+        epoch_iter = batches() if callable(batches) else iter(batches)
+        epoch_batches = 0
+        for batch in epoch_iter:
+            epoch_batches += 1
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
             # multipliers enter as traced jnp scalars — python floats
             # would bake into the program and force a retrace whenever a
@@ -123,4 +132,9 @@ def train_loop(
             iteration += 1
             if max_steps is not None and iteration >= max_steps:
                 return state, last_metrics
+        if epoch_batches == 0:
+            # exhausted one-shot iterator (or empty dataset): stop
+            # instead of spinning through the remaining epochs
+            print(f"train_loop: no batches in epoch {epoch}; stopping")
+            break
     return state, last_metrics

@@ -44,7 +44,10 @@ def test_similarity_pasteback_matches_reference(theta):
 
 def test_similarity_pasteback_identity_and_present():
     b, h, w, cs = 2, 64, 64, 32
-    frame = np.stack([smooth_image(h, w) for _ in range(b)])
+    # integer-valued frames: the blend runs bf16 end-to-end, which is
+    # exact for uint8-scale integers (production frames ARE uint8) but
+    # quantizes fractional f32 test values by up to 0.5
+    frame = np.round(np.stack([smooth_image(h, w) for _ in range(b)]))
     swap = np.full((b, cs, cs, 3), 200.0, np.float32)
     mask = np.ones((b, cs, cs, 1), np.float32)
     m = np.stack([similarity_m(1.0, 0.0, 0.0, 0.0)] * b)
