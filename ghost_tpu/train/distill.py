@@ -108,6 +108,34 @@ class OnnxInswapperTeacher:
         return {"teacher_y": out * 2.0 - 1.0}
 
 
+def build_inswapper_teacher(model_path: str):
+    """Best-available inswapper_128 teacher for --mode distill.
+
+    Prefers the native JAX graph executor (ghost_tpu.convert.onnx_exec)
+    so distillation runs without onnxruntime — the reference hard-
+    depends on an onnxruntime session per batch (train.py:42-57).
+    Falls back to OnnxInswapperTeacher when onnxruntime is installed.
+    """
+    import os
+
+    if not model_path:
+        raise SystemExit("--mode distill needs --teacher_onnx <inswapper_128.onnx>")
+    if not os.path.exists(model_path):
+        raise SystemExit(f"teacher model not found: {model_path!r}")
+    try:
+        from ghost_tpu.train.distill_native import NativeInswapperTeacher
+
+        return NativeInswapperTeacher(model_path)
+    except Exception as e:  # graph uses ops the executor lacks
+        if onnx_teacher_available():
+            print(f"native ONNX executor failed ({e}); "
+                  "falling back to onnxruntime")
+            return OnnxInswapperTeacher(model_path)
+        raise SystemExit(
+            f"cannot build inswapper teacher: native executor failed "
+            f"({e}) and onnxruntime is unavailable")
+
+
 def onnx_teacher_available() -> bool:
     try:
         import onnxruntime  # noqa: F401

@@ -1,0 +1,220 @@
+"""Full-model golden tests against the reference's own torch modules.
+
+Instantiates the REFERENCE implementation (mounted read-only at
+/root/reference) with seeded random weights, converts the state_dict
+through ghost_tpu.convert.torch_loader, and asserts output parity in
+f32. This catches whole-model wiring bugs (skip order, norm placement,
+upsample position) that per-primitive parity tests cannot — reference
+network/AEI_Net.py:143, network/MultiscaleDiscriminator.py:57.
+
+ArcFace has no vendored reference source (arcface_model/ is fetched at
+install time, download_models.sh:2-3), so its golden uses a local torch
+mirror of insightface's published iresnet layout — the same layout the
+converter's expected key set (conv1/bn1/prelu, layerN.M.{bn1,conv1,bn2,
+prelu,conv2,bn3,downsample}, bn2/fc/features) was written against.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REF, "network")),
+    reason="reference checkout not mounted",
+)
+
+torch = pytest.importorskip("torch")
+
+
+@pytest.fixture(scope="module")
+def ref_path():
+    sys.path.insert(0, REF)
+    yield
+    sys.path.remove(REF)
+
+
+def _sd_numpy(module):
+    return {k: v.detach().cpu().numpy() for k, v in module.state_dict().items()}
+
+
+def _nchw(x_nhwc):
+    return np.transpose(np.asarray(x_nhwc), (0, 3, 1, 2))
+
+
+class TestAEIGolden:
+    def test_aei_unet_2blocks(self, ref_path):
+        import jax
+        import jax.numpy as jnp
+
+        from network.AEI_Net import AEI_Net
+
+        from ghost_tpu.convert.torch_loader import convert_aei_state_dict
+        from ghost_tpu.core.precision import FULL_PRECISION
+        from ghost_tpu.models.aei import AEINet
+
+        torch.manual_seed(0)
+        ref = AEI_Net("unet", num_blocks=2, c_id=512).eval()
+        xt = torch.randn(1, 3, 256, 256)
+        z = torch.randn(1, 512)
+        with torch.no_grad():
+            y_ref, attr_ref = ref(xt, z)
+
+        variables = jax.tree.map(
+            jnp.asarray, convert_aei_state_dict(_sd_numpy(ref), "unet", 2)
+        )
+        ours = AEINet(backbone="unet", num_blocks=2, policy=FULL_PRECISION)
+        y, attrs = jax.jit(ours.apply)(
+            variables,
+            jnp.asarray(xt.numpy().transpose(0, 2, 3, 1)),
+            jnp.asarray(z.numpy()),
+        )
+
+        dy = np.abs(_nchw(y) - y_ref.numpy())
+        assert dy.max() < 2e-4, f"generator output diff {dy.max()}"
+        assert len(attrs) == len(attr_ref) == 8
+        for k, (a, ar) in enumerate(zip(attrs, attr_ref)):
+            da = np.abs(_nchw(a) - ar.numpy())
+            scale = np.abs(ar.numpy()).max() + 1e-6
+            assert da.max() / scale < 2e-4, f"attr{k + 1} diff {da.max()} (scale {scale})"
+
+
+class TestDiscriminatorGolden:
+    def test_multiscale_n5_instance(self, ref_path):
+        import jax
+        import jax.numpy as jnp
+
+        from network.MultiscaleDiscriminator import MultiscaleDiscriminator
+
+        from ghost_tpu.convert.torch_loader import (
+            convert_discriminator_state_dict)
+        from ghost_tpu.core.precision import FULL_PRECISION
+        from ghost_tpu.models.discriminator import (
+            MultiscaleDiscriminator as OurD)
+
+        torch.manual_seed(1)
+        # exact train config: reference train.py:470
+        ref = MultiscaleDiscriminator(
+            input_nc=3, n_layers=5, norm_layer=torch.nn.InstanceNorm2d
+        ).eval()
+        x = torch.randn(2, 3, 256, 256)
+        with torch.no_grad():
+            out_ref = ref(x)
+
+        params = jax.tree.map(
+            jnp.asarray,
+            convert_discriminator_state_dict(_sd_numpy(ref), num_D=3,
+                                             n_layers=5),
+        )
+        ours = OurD(n_layers=5, num_D=3, norm="instance",
+                    policy=FULL_PRECISION)
+        out = jax.jit(ours.apply)(
+            params, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
+
+        assert len(out) == len(out_ref) == 3
+        for i in range(3):
+            r = out_ref[i][0].numpy() if isinstance(out_ref[i], list) \
+                else out_ref[i].numpy()
+            o = _nchw(out[i][-1])
+            d = np.abs(o - r)
+            scale = np.abs(r).max() + 1e-6
+            assert d.max() / scale < 2e-4, f"scale {i} diff {d.max()}"
+
+
+# ---------------------------------------------------------------------------
+# ArcFace: local torch mirror of insightface iresnet (see module docstring)
+# ---------------------------------------------------------------------------
+
+
+def _torch_iresnet(layers):
+    import torch.nn as nn
+
+    class IBasicBlock(nn.Module):
+        def __init__(self, inplanes, planes, stride=1, downsample=None):
+            super().__init__()
+            self.bn1 = nn.BatchNorm2d(inplanes, eps=1e-05)
+            self.conv1 = nn.Conv2d(inplanes, planes, 3, 1, 1, bias=False)
+            self.bn2 = nn.BatchNorm2d(planes, eps=1e-05)
+            self.prelu = nn.PReLU(planes)
+            self.conv2 = nn.Conv2d(planes, planes, 3, stride, 1, bias=False)
+            self.bn3 = nn.BatchNorm2d(planes, eps=1e-05)
+            self.downsample = downsample
+
+        def forward(self, x):
+            identity = x
+            out = self.bn1(x)
+            out = self.conv1(out)
+            out = self.bn2(out)
+            out = self.prelu(out)
+            out = self.conv2(out)
+            out = self.bn3(out)
+            if self.downsample is not None:
+                identity = self.downsample(x)
+            return out + identity
+
+    class IResNetTorch(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = nn.Conv2d(3, 64, 3, 1, 1, bias=False)
+            self.bn1 = nn.BatchNorm2d(64, eps=1e-05)
+            self.prelu = nn.PReLU(64)
+            planes = (64, 128, 256, 512)
+            inplanes = 64
+            for s, (p, n) in enumerate(zip(planes, layers)):
+                blocks = []
+                ds = nn.Sequential(
+                    nn.Conv2d(inplanes, p, 1, 2, bias=False),
+                    nn.BatchNorm2d(p, eps=1e-05),
+                )
+                blocks.append(IBasicBlock(inplanes, p, 2, ds))
+                inplanes = p
+                for _ in range(1, n):
+                    blocks.append(IBasicBlock(p, p))
+                setattr(self, f"layer{s + 1}", nn.Sequential(*blocks))
+            self.bn2 = nn.BatchNorm2d(512, eps=1e-05)
+            self.fc = nn.Linear(512 * 7 * 7, 512)
+            self.features = nn.BatchNorm1d(512, eps=1e-05)
+
+        def forward(self, x):
+            x = self.prelu(self.bn1(self.conv1(x)))
+            for s in range(4):
+                x = getattr(self, f"layer{s + 1}")(x)
+            x = self.bn2(x)
+            x = torch.flatten(x, 1)
+            x = self.fc(x)
+            return self.features(x)
+
+    return IResNetTorch()
+
+
+class TestArcFaceGolden:
+    def test_iresnet_2222(self):
+        import jax
+        import jax.numpy as jnp
+
+        from ghost_tpu.convert.torch_loader import convert_arcface_state_dict
+        from ghost_tpu.core.precision import FULL_PRECISION
+        from ghost_tpu.models.arcface import IResNet
+
+        torch.manual_seed(2)
+        layers = (2, 2, 2, 2)
+        ref = _torch_iresnet(layers).eval()
+        x = torch.randn(2, 3, 112, 112)
+        with torch.no_grad():
+            e_ref = ref(x).numpy()
+
+        variables = jax.tree.map(
+            jnp.asarray, convert_arcface_state_dict(_sd_numpy(ref), layers)
+        )
+        ours = IResNet(layers=layers, policy=FULL_PRECISION)
+        e = np.asarray(jax.jit(ours.apply)(
+            variables, jnp.asarray(x.numpy().transpose(0, 2, 3, 1))))
+        d = np.abs(e - e_ref)
+        scale = np.abs(e_ref).max() + 1e-6
+        assert d.max() / scale < 2e-4, f"embedding diff {d.max()}"
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q"])
