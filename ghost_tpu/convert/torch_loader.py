@@ -107,6 +107,43 @@ def _aad_resblock(sd, prefix: str, num_blocks: int, cin: int, cout: int):
     return out
 
 
+def _convert_resnet_encoder(sd, prefix: str = "encoder."):
+    """MLAttrEncoderResnet (reference network/resnet.py:81-149): 7x7
+    stem pair + six 2-block Bottleneck stages, each stage stride 2 with
+    a 1x1 downsample on its first block."""
+    p: Dict = {}
+    s: Dict = {}
+
+    def put_bn(dst_p, dst_s, torch_name, flax_name):
+        bp, bs = _bn(sd, torch_name)
+        dst_p[flax_name] = {"BatchNorm_0": bp}
+        dst_s[flax_name] = {"BatchNorm_0": bs}
+
+    p["conv0"] = {"Conv_0": {"kernel": _conv(sd, f"{prefix}conv0")}}
+    put_bn(p, s, f"{prefix}bn0", "bn0")
+    p["conv1"] = {"Conv_0": {"kernel": _conv(sd, f"{prefix}conv1")}}
+    put_bn(p, s, f"{prefix}bn1", "bn1")
+
+    for stage in range(1, 7):
+        for b in range(2):
+            t = f"{prefix}layer{stage}.{b}"
+            f = f"layer{stage}_block{b}"
+            bp: Dict = {}
+            bs: Dict = {}
+            for c in ("conv1", "conv2", "conv3"):
+                bp[c] = {"Conv_0": {"kernel": _conv(sd, f"{t}.{c}")}}
+            for n in ("bn1", "bn2", "bn3"):
+                put_bn(bp, bs, f"{t}.{n}", n)
+            if b == 0:
+                bp["ds_conv"] = {
+                    "Conv_0": {"kernel": _conv(sd, f"{t}.downsample.0")}
+                }
+                put_bn(bp, bs, f"{t}.downsample.1", "ds_bn")
+            p[f] = bp
+            s[f] = bs
+    return p, s
+
+
 _AAD_CIN = (1024, 1024, 1024, 1024, 512, 256, 128, 64)
 _AAD_COUT = (1024, 1024, 1024, 512, 256, 128, 64, 3)
 
@@ -134,8 +171,12 @@ def convert_aei_state_dict(
                 "bn": {"BatchNorm_0": bn_p},
             }
             stats["encoder"][f"up{i}"] = {"bn": {"BatchNorm_0": bn_s}}
+    elif backbone == "resnet":
+        enc_p, enc_s = _convert_resnet_encoder(sd, prefix="encoder.")
+        params["encoder"] = enc_p
+        stats["encoder"] = enc_s
     else:
-        raise NotImplementedError("resnet backbone conversion: round 2")
+        raise ValueError(f"unknown backbone {backbone!r}")
 
     params["generator"]["up1"] = {
         "kernel": _deconv(sd, "generator.up1"),
@@ -193,6 +234,120 @@ def convert_arcface_state_dict(sd: Mapping[str, np.ndarray], layers=(3, 13, 30, 
         "var": sd["features.running_var"],
     }
     return {"params": params, "batch_stats": stats}
+
+
+def _spectral_conv(sd, name):
+    """torch spectral_norm conv -> {params, spectral} fragments."""
+    p = {"kernel": np.transpose(sd[f"{name}.weight_orig"], (2, 3, 1, 0))}
+    if f"{name}.bias" in sd:
+        p["bias"] = sd[f"{name}.bias"]
+    s = {"u": sd[f"{name}.weight_u"], "v": sd[f"{name}.weight_v"]}
+    return p, s
+
+
+def _spade_norm(sd, name):
+    """SPADE module (reference models/networks/normalization.py:63-107):
+    affine-free synced BN stats + segmap-conditioned gamma/beta convs."""
+    p = {
+        "mlp_shared": {
+            "kernel": np.transpose(sd[f"{name}.mlp_shared.0.weight"],
+                                   (2, 3, 1, 0)),
+            "bias": sd[f"{name}.mlp_shared.0.bias"],
+        },
+        "mlp_gamma": {
+            "kernel": np.transpose(sd[f"{name}.mlp_gamma.weight"], (2, 3, 1, 0))
+        },
+        "mlp_beta": {
+            "kernel": np.transpose(sd[f"{name}.mlp_beta.weight"], (2, 3, 1, 0))
+        },
+    }
+    stats = {
+        "pfn": {
+            "mean": sd[f"{name}.param_free_norm.running_mean"],
+            "var": sd[f"{name}.param_free_norm.running_var"],
+        }
+    }
+    return p, stats
+
+
+def _spade_resblock(sd, name, learned_shortcut: bool):
+    """SPADEResnetBlock (reference models/networks/architecture.py:21-70)."""
+    p: Dict = {}
+    stats: Dict = {}
+    spec: Dict = {}
+    convs = ["conv_0", "conv_1"] + (["conv_s"] if learned_shortcut else [])
+    for c in convs:
+        p[c], spec[c] = _spectral_conv(sd, f"{name}.{c}")
+    norms = ["norm_0", "norm_1"] + (["norm_s"] if learned_shortcut else [])
+    for n in norms:
+        p[n], stats[n] = _spade_norm(sd, f"{name}.{n}")
+    return p, stats, spec
+
+
+def convert_spade_generator_state_dict(
+    sd: Mapping[str, np.ndarray], ngf: int = 48, lip: bool = True,
+    n_2xdown: int = 5,
+):
+    """SR generator .pth (10_net_G.pth layout) -> variables for
+    models.sr.generator.{LIPSPADEGenerator,SPADEGenerator}.
+
+    Reference structure: SPADEGenerator head/middle/ups blocks +
+    to_rgbs list (models/networks/generator.py:17-137; the test config
+    is_test=True uses to_rgbs[-1]) and, for netG='lipspade'
+    (models/config_sr.py:21), a LIPEncoder whose Sequential packs
+    [conv, IN, ReLU] + n x [SimplifiedLIP, conv, IN, (ReLU)]
+    (generator.py:353-388).
+    """
+    params: Dict = {}
+    stats: Dict = {}
+    spec: Dict = {}
+
+    blocks = [("head_0", False), ("G_middle_0", False), ("G_middle_1", False),
+              ("ups_0", True), ("ups_1", True), ("ups_2", True),
+              ("ups_3", True)]
+    for ours, shortcut in blocks:
+        theirs = ours if not ours.startswith("ups_") else \
+            f"ups.{ours.split('_')[1]}"
+        params[ours], stats[ours], spec[ours] = _spade_resblock(
+            sd, theirs, shortcut)
+
+    # is_test runs every phase and emits via the LAST to_rgb
+    # (generator.py:109-118)
+    n_rgb = max(int(k.split(".")[1]) for k in sd if k.startswith("to_rgbs."))
+    params["to_rgb"] = {
+        "Conv_0": {
+            "kernel": np.transpose(sd[f"to_rgbs.{n_rgb}.weight"], (2, 3, 1, 0)),
+            "bias": sd[f"to_rgbs.{n_rgb}.bias"],
+        }
+    }
+
+    if lip:
+        enc: Dict = {
+            "stem": {"Conv_0": {"kernel": _conv(sd, "lip_encoder.model.0")}}
+        }
+        for i in range(n_2xdown):
+            lip_idx = 3 + 4 * i
+            enc[f"lip{i}"] = {
+                "logit_conv": {
+                    "Conv_0": {
+                        "kernel": _conv(sd, f"lip_encoder.model.{lip_idx}.logit.0")
+                    }
+                },
+                "in_scale": sd[f"lip_encoder.model.{lip_idx}.logit.1.weight"],
+                "in_bias": sd[f"lip_encoder.model.{lip_idx}.logit.1.bias"],
+            }
+            enc[f"conv{i}"] = {
+                "Conv_0": {
+                    "kernel": _conv(sd, f"lip_encoder.model.{lip_idx + 1}"),
+                    "bias": sd[f"lip_encoder.model.{lip_idx + 1}.bias"],
+                }
+            }
+        params["lip_encoder"] = enc
+    else:
+        params["fc"] = {
+            "Conv_0": {"kernel": _conv(sd, "fc"), "bias": sd["fc.bias"]}
+        }
+    return {"params": params, "batch_stats": stats, "spectral": spec}
 
 
 def convert_discriminator_state_dict(

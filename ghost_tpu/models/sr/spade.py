@@ -54,20 +54,33 @@ class SpectralConv(nn.Module):
             "kernel", nn.initializers.xavier_normal(),
             (k, k, cin, self.features), self.param_dtype,
         )
-        # torch matricizes as (cout, rest); ours: move cout first
-        w_mat = jnp.transpose(kernel, (3, 0, 1, 2)).reshape(self.features, -1)
+        # torch matricizes as weight.reshape(cout, -1) on a
+        # (cout, cin, kh, kw) tensor, i.e. flatten order (cin, kh, kw):
+        # converted weight_v vectors live in that order, so match it
+        w_mat = jnp.transpose(kernel, (3, 2, 0, 1)).reshape(self.features, -1)
+
+        def _nrm(t):
+            return t / (jnp.linalg.norm(t) + self.eps)
+
         u_var = self.variable(
             "spectral", "u",
-            lambda: jax.random.normal(jax.random.key(0), (self.features,)),
+            lambda: _nrm(jax.random.normal(jax.random.key(0),
+                                           (self.features,))),
         )
-        u = u_var.value
-        v = w_mat.T @ u
-        v = v / (jnp.linalg.norm(v) + self.eps)
-        u_new = w_mat @ v
-        u_new = u_new / (jnp.linalg.norm(u_new) + self.eps)
-        sigma = u_new @ (w_mat @ v)
+        # v persists like torch's weight_v so eval-mode sigma uses the
+        # STORED pair exactly as torch.nn.utils.spectral_norm does;
+        # init = half a power iteration from u (keeps sigma sane at
+        # random init)
+        v_var = self.variable(
+            "spectral", "v", lambda: _nrm(w_mat.T @ u_var.value))
+        u, v = u_var.value, v_var.value
         if self.update_stats and not self.is_initializing():
-            u_var.value = jax.lax.stop_gradient(u_new)
+            # torch power-iteration order: v first, then u
+            v = _nrm(w_mat.T @ u)
+            u = _nrm(w_mat @ v)
+            u_var.value = jax.lax.stop_gradient(u)
+            v_var.value = jax.lax.stop_gradient(v)
+        sigma = u @ (w_mat @ v)
         w_sn = (kernel / sigma).astype(self.dtype)
 
         y = jax.lax.conv_general_dilated(

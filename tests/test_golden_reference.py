@@ -31,6 +31,19 @@ torch = pytest.importorskip("torch")
 
 @pytest.fixture(scope="module")
 def ref_path():
+    # torchvision isn't installed; the reference imports it at module
+    # level (architecture.py:9) but only uses it to build VGG19, which
+    # these tests never construct — stub it.
+    import types
+
+    if "torchvision" not in sys.modules:
+        try:
+            import torchvision  # noqa: F401
+        except ImportError:
+            tv = types.ModuleType("torchvision")
+            tv.models = types.ModuleType("torchvision.models")
+            sys.modules["torchvision"] = tv
+            sys.modules["torchvision.models"] = tv.models
     sys.path.insert(0, REF)
     yield
     sys.path.remove(REF)
@@ -81,6 +94,41 @@ class TestAEIGolden:
             assert da.max() / scale < 2e-4, f"attr{k + 1} diff {da.max()} (scale {scale})"
 
 
+class TestAEIResnetGolden:
+    def test_aei_resnet_backbone(self, ref_path):
+        import jax
+        import jax.numpy as jnp
+
+        from network.AEI_Net import AEI_Net
+
+        from ghost_tpu.convert.torch_loader import convert_aei_state_dict
+        from ghost_tpu.core.precision import FULL_PRECISION
+        from ghost_tpu.models.aei import AEINet
+
+        torch.manual_seed(3)
+        ref = AEI_Net("resnet", num_blocks=2, c_id=512).eval()
+        xt = torch.randn(1, 3, 256, 256)
+        z = torch.randn(1, 512)
+        with torch.no_grad():
+            y_ref, attr_ref = ref(xt, z)
+
+        variables = jax.tree.map(
+            jnp.asarray, convert_aei_state_dict(_sd_numpy(ref), "resnet", 2)
+        )
+        ours = AEINet(backbone="resnet", num_blocks=2, policy=FULL_PRECISION)
+        y, attrs = jax.jit(ours.apply)(
+            variables,
+            jnp.asarray(xt.numpy().transpose(0, 2, 3, 1)),
+            jnp.asarray(z.numpy()),
+        )
+        dy = np.abs(_nchw(y) - y_ref.numpy())
+        assert dy.max() < 2e-4, f"generator output diff {dy.max()}"
+        for k, (a, ar) in enumerate(zip(attrs, attr_ref)):
+            da = np.abs(_nchw(a) - ar.numpy())
+            scale = np.abs(ar.numpy()).max() + 1e-6
+            assert da.max() / scale < 2e-4, f"attr{k + 1} diff {da.max()}"
+
+
 class TestDiscriminatorGolden:
     def test_multiscale_n5_instance(self, ref_path):
         import jax
@@ -121,6 +169,41 @@ class TestDiscriminatorGolden:
             d = np.abs(o - r)
             scale = np.abs(r).max() + 1e-6
             assert d.max() / scale < 2e-4, f"scale {i} diff {d.max()}"
+
+
+class TestLIPSPADEGolden:
+    def test_lipspade_generator(self, ref_path):
+        """The configured SR netG (models/config_sr.py:21) end to end:
+        LIP encoder + SPADE decoder + spectral-normed convs, eval mode
+        (is_test=True -> all 4 phases, last to_rgb)."""
+        import jax
+        import jax.numpy as jnp
+
+        from models.config_sr import TestOptions
+        from models.networks.generator import LIPSPADEGenerator
+
+        from ghost_tpu.convert.torch_loader import (
+            convert_spade_generator_state_dict)
+        from ghost_tpu.core.precision import FULL_PRECISION
+        from ghost_tpu.models.sr.generator import LIPSPADEGenerator as OurG
+
+        torch.manual_seed(4)
+        ref = LIPSPADEGenerator(TestOptions()).eval()
+        x = torch.randn(1, 3, 256, 256) * 0.5
+        with torch.no_grad():
+            y_ref = ref(x)
+
+        variables = jax.tree.map(
+            jnp.asarray,
+            convert_spade_generator_state_dict(_sd_numpy(ref), ngf=48,
+                                               lip=True),
+        )
+        ours = OurG(ngf=48, param_free="syncbatch", train=False,
+                    policy=FULL_PRECISION)
+        y = jax.jit(ours.apply)(
+            variables, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
+        d = np.abs(_nchw(y) - y_ref.numpy())
+        assert d.max() < 5e-4, f"lipspade output diff {d.max()}"
 
 
 # ---------------------------------------------------------------------------
