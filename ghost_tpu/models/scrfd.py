@@ -13,11 +13,15 @@ with the same contract:
 Architecture: anchor-free SCRFD family — a residual backbone, a
 PAFPN-style neck, and a shared head predicting per-location score,
 bbox distances (distance2bbox) and 5-point kps offsets (distance2kps)
-at strides {8, 16, 32} with 2 anchor centers per cell — matching the
-I/O semantics of the scrfd_10g_bnkps graph so its exported weights can
-be mapped on. Post-processing (threshold, top-k, NMS) is fixed-capacity
-and fully on-device: no dynamic shapes, so the whole
-detect->align->swap chain jits as one program.
+at strides {8, 16, 32} with 2 anchor centers per cell. This class is
+the throughput-bench graph (I/O-compatible with the SCRFD family, but
+its backbone plan is NOT checkpoint-verified); for REAL weights use
+models/scrfd_v1e.SCRFDV1e, whose mmdet topology loads the reference's
+model_25GF.pth checkpoint and detects real faces
+(tests/test_scrfd_real_weights.py). Post-processing below (threshold,
+top-k, NMS) is fixed-capacity and fully on-device, shared by both
+detector graphs: no dynamic shapes, so the whole detect->align->swap
+chain jits as one program.
 """
 
 from __future__ import annotations
