@@ -50,6 +50,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="per-identity folder layout (VGGFace2)")
     p.add_argument("--celeba", default=False, type=bool)
     p.add_argument("--eye_detector_loss", default=False, type=bool)
+    p.add_argument("--fan_path", default="", help="FAN weights (msgpack)")
+    p.add_argument("--fan_stacks", default=4, type=int,
+                   help="FAN hourglass stacks (4 = reference WFLW_4HG)")
     p.add_argument("--weight_adv", default=1.0, type=float)
     p.add_argument("--weight_attr", default=10.0, type=float)
     p.add_argument("--weight_id", default=15.0, type=float)
@@ -163,8 +166,26 @@ def main(argv=None):
                        policy=policy, train=False, width=args.width)
         teacher_apply = lambda xt, z: t_gen.apply(t_vars, xt, z)[0]
 
+    fan_apply = None
+    if args.eye_detector_loss:
+        # reference train.py:483-501: FAN(4, 98) eye detector (WFLW_4HG
+        # weights via --fan_path msgpack; random = smoke mode)
+        from ghost_tpu.models.fan import FAN
+
+        fan = FAN(num_stacks=args.fan_stacks, policy=policy)
+        if args.fan_path:
+            from ghost_tpu.core.checkpoint import load_msgpack
+
+            fan_vars = load_msgpack(args.fan_path)
+        else:
+            print("WARNING: random FAN weights (--fan_path not given)")
+            fan_vars = fan.init(jax.random.key(1),
+                                jnp.zeros((1, 256, 256, 3)))
+        fan_apply = lambda x01: fan.apply(fan_vars, x01)[-1]
+
     g_step, d_step = make_train_steps(gen, disc, arc_apply, step_cfg, weights,
-                                      teacher_apply=teacher_apply)
+                                      teacher_apply=teacher_apply,
+                                      fan_apply=fan_apply)
     state = init_train_state(g_vars, d_vars, step_cfg)
 
     if args.celeba:

@@ -104,6 +104,11 @@ def train_loop(
                 if "L_id_hq" in metrics:
                     mults["id_hq"] = ratchet_multiplier(
                         float(metrics["L_id_hq"]), mults["id_hq"], 250.0)
+                if "L_eyes" in metrics:
+                    # reference train.py:336-338: grow until
+                    # universal*mult*L_eyes >= 100
+                    mults["eyes"] = ratchet_multiplier(
+                        float(metrics["L_eyes"]), mults["eyes"], 100.0)
 
             if iteration % cfg.print_interval == 0:
                 batch_time = time.time() - t0

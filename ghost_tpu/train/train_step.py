@@ -89,6 +89,9 @@ def default_distill_mults():
         "teacher": 30.0,
         "multi_round": 3000.0,
         "adv": 0.5,
+        # ratcheted from 1.0 until universal*mult*L_eyes >= 100
+        # (reference train.py:336-338)
+        "eyes": 1.0,
     }
 
 
@@ -99,6 +102,7 @@ def make_train_steps(
     cfg: TrainStepConfig,
     weights: L.GeneratorLossWeights = L.GeneratorLossWeights(),
     teacher_apply: Optional[Callable] = None,
+    fan_apply: Optional[Callable] = None,
 ):
     """Returns (g_step, d_step), each jittable.
 
@@ -106,6 +110,10 @@ def make_train_steps(
     its variables so it rides the jit as constants.
     teacher_apply: frozen teacher G for self-distillation
     ((xt, z) -> y), reference train-self.py:244-254.
+    fan_apply: frozen FAN eye detector, images in [0,1] NHWC 256 ->
+    final-stack (B,64,64,98) heatmaps; enables cfg.eye_loss (reference
+    train.py:239-247, loss on pupil channels 96/97 per
+    utils/training/detector.py:24-28).
     """
     g_tx = ghost_adam(cfg.lr_g, cfg.b1, cfg.b2, cfg.weight_decay)
     d_tx = ghost_adam(cfg.lr_d, cfg.b1, cfg.b2, cfg.weight_decay)
@@ -143,10 +151,28 @@ def make_train_steps(
 
         l_rec = L.reconstruction_loss(y, xt, same_person)
 
+        l_eyes = None
+        if cfg.eye_loss and fan_apply is not None:
+            # eye target: the teacher output in distill mode
+            # (train.py:239-247), Xt otherwise (canonical GHOST,
+            # utils/training/losses.py:40-50). FAN eats [0,1] images
+            # (detector.py:18-22 un-normalizes); target branch carries
+            # no gradient, Y's branch backprops through frozen FAN.
+            tgt_img = xt
+            if cfg.mode == "distill" and "teacher_y" in batch:
+                tgt_img = batch["teacher_y"]
+            hm_t = jax.lax.stop_gradient(
+                fan_apply(tgt_img * 0.5 + 0.5))
+            hm_y = fan_apply(y * 0.5 + 0.5)
+            l_eyes = L.eye_heatmap_loss(
+                hm_t[..., 96], hm_t[..., 97], hm_y[..., 96], hm_y[..., 97])
+
         aux = {
             "L_adv": l_adv, "L_id": l_id, "L_attr": l_attr, "L_rec": l_rec,
             "batch_stats": new_stats, "Y": y,
         }
+        if l_eyes is not None:
+            aux["L_eyes"] = l_eyes
 
         if cfg.mode == "canonical":
             total = (
@@ -155,6 +181,8 @@ def make_train_steps(
                 + weights.id * l_id
                 + weights.rec * l_rec
             )
+            if l_eyes is not None:
+                total = total + weights.eyes * l_eyes
         elif cfg.mode in ("distill", "self_distill", "round_trip"):
             # teacher output: provided by the host (ONNX inswapper stage,
             # train.py:139-145) or computed from a frozen JAX teacher
@@ -181,6 +209,9 @@ def make_train_steps(
                 + mults["multi_round"] * l_multi
                 + mults["adv"] * l_adv
             )
+            if l_eyes is not None:
+                total = total + weights.universal * \
+                    mults.get("eyes", 1.0) * l_eyes
             if cfg.mode == "round_trip":
                 # G(Y, embed_of_Xt) should reproduce Xt
                 # (reference train-roundtrip.py:104-105)

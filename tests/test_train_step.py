@@ -144,3 +144,50 @@ def test_ratchet_multiplier():
     assert 100.0 * m * 0.001 >= 200.0
     assert abs(ratchet_multiplier(10.0, 3.5, 200.0) - 3.5) < 1e-9
     assert ratchet_multiplier(0.0, 3.5, 200.0) == 3.5
+
+
+def test_eye_loss_changes_gradients(rng):
+    """VERDICT r1 missing #4: cfg.eye_loss must actually alter the
+    objective. Same batch/state, eye loss off vs on (tiny FAN):
+    L_eyes is reported and the updated params differ."""
+    from ghost_tpu.models.fan import FAN
+
+    key = jax.random.key(0)
+    gen = AEINet(backbone="unet", num_blocks=1, policy=FULL_PRECISION,
+                 train=True, width=1 / 16)
+    g_vars = gen.init(key, jnp.zeros((1, 256, 256, 3)), jnp.zeros((1, 512)))
+    disc = MultiscaleDiscriminator(ndf=8, n_layers=3, num_D=2,
+                                   policy=FULL_PRECISION)
+    d_vars = disc.init(key, jnp.zeros((1, 256, 256, 3)))
+    arc = IResNet(layers=(1, 1, 1, 1), policy=FULL_PRECISION)
+    a_vars = arc.init(key, jnp.zeros((1, 112, 112, 3)))
+    fan = FAN(num_stacks=1, features=16, policy=FULL_PRECISION)
+    f_vars = fan.init(key, jnp.zeros((1, 256, 256, 3)))
+
+    arc_apply = lambda x: arc.apply(a_vars, x)
+    fan_apply = lambda x: fan.apply(f_vars, x)[-1]
+
+    batch = make_batch(rng)
+    results = {}
+    for eye in (False, True):
+        cfg = TrainStepConfig(mode="canonical", eye_loss=eye)
+        g_step, _ = make_train_steps(
+            gen, disc, arc_apply, cfg,
+            GeneratorLossWeights(eyes=100.0),
+            fan_apply=fan_apply if eye else None)
+        state = init_train_state(g_vars, d_vars, cfg)
+        new_state, metrics, _y = jax.jit(g_step)(state, batch)
+        results[eye] = (new_state, metrics)
+
+    assert "L_eyes" not in results[False][1]
+    assert np.isfinite(float(results[True][1]["L_eyes"]))
+    # the extra term moved the update
+    diffs = jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))),
+        results[False][0].g_params, results[True][0].g_params))
+    assert max(diffs) > 0
+
+    # the distill eyes ratchet slot grows when the weighted term is
+    # below its floor (reference train.py:336-338)
+    m = ratchet_multiplier(float(results[True][1]["L_eyes"]), 1.0, 100.0)
+    assert m >= 1.0
