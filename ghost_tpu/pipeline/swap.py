@@ -88,6 +88,13 @@ class SwapConfig:
     # >= 200 px, so 2x downsample loses nothing the ArcFace resize
     # wouldn't; affects matching similarity only, never quality
     match_downsample: int = 2
+    # reference-parity per-shot mask parameters: landmark the ORIGINAL
+    # target crop too, derive the x-offset statistic on the first
+    # present face per target, select (erode, sigma_x, sigma_y,
+    # eyebrow_mod) once and feed them as traced scalars
+    # (reference masks.py:38-76 + video_processing.py:204-235 caching).
+    # False = fixed `mask_params` (cheaper: no second landmark pass)
+    mask_per_shot: bool = True
     # embed only the top-K score-sorted face lanes in stage A (None =
     # all max_faces lanes, exact reference semantics). Frames rarely
     # hold more real faces than targets; K >= actual face count is
@@ -135,9 +142,10 @@ class SwapPipeline:
     def _detect_match(self, frames_u8, target_embeds):
         return self._detect_match_j(self._vars, frames_u8, target_embeds)
 
-    def _swap_blend(self, frames_u8, kps, present, source_embeds):
+    def _swap_blend(self, frames_u8, kps, present, source_embeds,
+                    mask_params=None):
         return self._swap_blend_j(self._vars, frames_u8, kps, present,
-                                  source_embeds)
+                                  source_embeds, mask_params)
 
     def _embed(self, crops_rgb_u8):
         return self._embed_j(self._vars, crops_rgb_u8)
@@ -235,9 +243,15 @@ class SwapPipeline:
 
     # ----------------------------------------------------- stage B: swap
     def _swap_blend_impl(self, variables, frames_u8, kps, present,
-                         source_embeds):
+                         source_embeds, mask_params=None):
         """frames (B,H,W,3) RGB uint8; kps (B,T,5,2); present (B,T) bool;
-        source_embeds (T,512). Returns blended uint8 frames."""
+        source_embeds (T,512). Returns blended uint8 frames.
+
+        mask_params: None -> compile-time cfg.mask_params (single
+        landmark pass); (T,4) traced array -> per-target dynamic mask
+        params + a second landmark pass over the ORIGINAL target crops,
+        additionally returning the (B,T) per-face mask-offset statistic
+        (reference masks.py:44-47) for host-side parameter selection."""
         cfg = self.cfg
         b, t = kps.shape[:2]
         cs = cfg.crop_size
@@ -269,8 +283,32 @@ class SwapPipeline:
         swap224 = resize(y, (cs, cs), method="bilinear")
 
         lmk_apply = lambda v, imgs: self.lmk_mod.apply(v, imgs)
-        lmks = landmarks_from_crops(lmk_apply, variables["lmk"], swap224, cs)
-        mask = face_mask_batch(lmks, cs, self.cfg.mask_params)
+        offsets = None
+        if mask_params is None:
+            lmks = landmarks_from_crops(lmk_apply, variables["lmk"],
+                                        swap224, cs)
+            mask = face_mask_batch(lmks, cs, self.cfg.mask_params)
+        else:
+            from ghost_tpu.ops.mask import (mask_offset_from_landmarks,
+                                            soft_face_mask_dynamic)
+
+            # one landmark pass over [swap | original target crop]
+            # (reference video_processing.py:204-228 runs the handler
+            # on both)
+            both = jnp.concatenate(
+                [swap224, crops.astype(swap224.dtype)], axis=0)
+            lm_both = landmarks_from_crops(lmk_apply, variables["lmk"],
+                                           both, cs)
+            n = b * t
+            lmks, lmks_tgt = lm_both[:n], lm_both[n:]
+            offsets = jax.vmap(mask_offset_from_landmarks)(
+                lmks, lmks_tgt).reshape(b, t)
+            params_bt = jnp.tile(
+                jnp.asarray(mask_params, jnp.float32), (b, 1))  # (B*T,4)
+            mask = jax.vmap(
+                lambda lm, p: soft_face_mask_dynamic(
+                    lm, cs, p[0], p[1], p[2], p[3])
+            )(lmks, params_bt)[..., None]
 
         # iterative per-target blend keeps frame-major layout: blend
         # target 0 into frames, then target 1 into the result, matching
@@ -297,7 +335,10 @@ class SwapPipeline:
             else:
                 out = warp_and_blend(out, swap224[:, j], mask[:, j], m[:, j],
                                      present=present[:, j])
-        return jnp.clip(out, 0, 255).astype(jnp.uint8)
+        out = jnp.clip(out, 0, 255).astype(jnp.uint8)
+        if offsets is not None:
+            return out, offsets
+        return out
 
     # ------------------------------------------------------------ driver
     def swap_video_frames(
@@ -362,13 +403,40 @@ class SwapPipeline:
         kps_pad = np.concatenate(
             [kps_all, np.zeros((pad, t, 5, 2), np.float32)], 0
         ) if pad else kps_all
+
+        mask_params_t = None
+        if cfg.mask_per_shot:
+            # probe pass on chunk 0 with default params: collect the
+            # per-face offset statistic, select per-target params once,
+            # then reprocess from chunk 0 with the selection — exactly
+            # the reference's params-from-first-frame caching
+            # (video_processing.py:204,220-223). Targets absent from
+            # chunk 0 keep the defaults.
+            from ghost_tpu.ops.mask import mask_params_from_offset
+
+            default = jnp.tile(
+                jnp.asarray(cfg.mask_params, jnp.float32)[None], (t, 1))
+            _probe, offs0 = self._swap_blend(
+                jnp.asarray(frames_pad[:bsz]), jnp.asarray(kps_pad[:bsz]),
+                jnp.asarray(present_pad[:bsz]), src_emb, default)
+            offs0 = np.asarray(offs0)
+            chosen = []
+            for j in range(t):
+                idx = np.nonzero(present_pad[:bsz, j])[0]
+                off = float(offs0[idx[0], j]) if len(idx) else 0.0
+                chosen.append(mask_params_from_offset(off))
+            mask_params_t = jnp.asarray(chosen, jnp.float32)
+
         for i in range(0, n + pad, bsz):
             res = self._swap_blend(
                 jnp.asarray(frames_pad[i : i + bsz]),
                 jnp.asarray(kps_pad[i : i + bsz]),
                 jnp.asarray(present_pad[i : i + bsz]),
                 src_emb,
+                mask_params_t,
             )
+            if mask_params_t is not None:
+                res = res[0]
             out[i : i + bsz] = np.asarray(res)
         return out[:n]
 

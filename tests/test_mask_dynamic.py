@@ -55,3 +55,41 @@ def test_offset_statistic_and_selection():
     assert mask_params_from_offset(off) == (15.0, 15.0, 10.0, 2.7)
     assert mask_params_from_offset(0.0) == (5.0, 5.0, 5.0, 2.0)
     assert mask_params_from_offset(-5.0) == (-5.0, 5.0, 10.0, 0.5)
+
+
+def test_pipeline_per_shot_params_no_retrace():
+    """Stage B with per-shot params: traced (T,4) array switches values
+    without retracing, returns the offset statistic, and the driver
+    path (swap_video_frames with mask_per_shot) runs end to end."""
+    import numpy as _np
+
+    from ghost_tpu.pipeline.swap import SwapConfig, build_random_pipeline
+
+    cfg = SwapConfig(chunk_size=2, max_faces=2, crop_size=224,
+                     mask_per_shot=True)
+    pipe = build_random_pipeline(cfg, seed=0)
+    rng = _np.random.default_rng(0)
+    frames = jnp.asarray(
+        rng.integers(0, 255, (2, 128, 160, 3), dtype=_np.uint8))
+    kps = jnp.asarray(
+        rng.uniform(30, 100, (2, 1, 5, 2)).astype(_np.float32))
+    present = jnp.ones((2, 1), bool)
+    src = pipe.embed_sources(
+        rng.integers(0, 255, (1, 224, 224, 3), dtype=_np.uint8))
+
+    p1 = jnp.asarray([[5.0, 5.0, 5.0, 2.0]], jnp.float32)
+    p2 = jnp.asarray([[15.0, 15.0, 10.0, 2.7]], jnp.float32)
+    out1, off1 = pipe._swap_blend(frames, kps, present, src, p1)
+    n_traces = pipe._swap_blend_j._cache_size()
+    out2, off2 = pipe._swap_blend(frames, kps, present, src, p2)
+    assert pipe._swap_blend_j._cache_size() == n_traces  # no retrace
+    assert out1.shape == frames.shape and out1.dtype == jnp.uint8
+    assert off1.shape == (2, 1)
+    assert _np.allclose(_np.asarray(off1), _np.asarray(off2))
+
+    # driver end to end (probe + reprocess)
+    res = pipe.swap_video_frames(
+        _np.asarray(frames),
+        _np.asarray(rng.integers(0, 255, (1, 224, 224, 3), dtype=_np.uint8)),
+        None, smooth=False)
+    assert res.shape == frames.shape
