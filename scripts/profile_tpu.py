@@ -1,12 +1,12 @@
 """Per-stage TPU timing for the swap pipeline at the bench config.
 
-Run AFTER bench.py (which compiles + caches the two full stage
-programs). Each section compiles one extra program and times it with
-the chained-checksum methodology from bench.py (block_until_ready is
-unreliable over the relay; a data-dependent host scalar is not).
+Sub-ops first (small programs), full stages last; every section is
+fault-isolated so one OOM doesn't kill the run. Timing uses the
+chained-checksum methodology from bench.py (block_until_ready is
+unreliable over the relay).
 
-Usage: python scripts/profile_tpu.py   (runs on the real TPU; one at a
-time, in background, no timeout — see CLAUDE.md relay rules)
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/profile_tpu.py
+(real TPU; one job at a time, background, no timeout — CLAUDE.md rules)
 """
 
 from __future__ import annotations
@@ -46,11 +46,10 @@ def main():
     checksum = jax.jit(lambda x: jnp.sum(x.astype(jnp.float32)))
 
     def force(x):
-        leaves = jax.tree.leaves(x)
-        return float(checksum(leaves[0].reshape(-1)[:4096]))
+        leaf = jax.tree.leaves(x)[0]
+        return float(checksum(leaf))
 
     def timed(name, fn, *args, reps=3):
-        """Compile+warm, then `reps` sequential (fn, force) rounds."""
         try:
             t0 = time.time()
             out = fn(*args)
@@ -65,47 +64,25 @@ def main():
                   f"  (compile+1st {compile_s:.1f}s)", flush=True)
             return dt
         except Exception as e:
-            print(f"{name:34s} FAILED: {type(e).__name__}: {e}", flush=True)
+            print(f"{name:34s} FAILED: {type(e).__name__}: "
+                  f"{str(e)[:300]}", flush=True)
             return float("nan")
 
     print(f"devices: {jax.devices()}", flush=True)
-
-    # dispatch floor: trivial program round-trip
     tiny = jnp.zeros((128,), jnp.float32)
     timed("dispatch_floor(tiny add)", jax.jit(lambda x: x + 1.0), tiny)
 
-    # ---- the bench chain itself (also warms bench.py's cache) ----
-    t0 = time.time()
-    a = pipe._detect_match(frames, tgt_emb)
-    force(a)
-    b = pipe._swap_blend(frames, kps, present, src_emb)
-    force(b)
-    print(f"stage compile+first: {time.time() - t0:.1f}s", flush=True)
-
-    iters = 6
-    cur = frames
-    t0 = time.time()
-    for _ in range(iters):
-        best_kps, _sim, _scores, _raw = pipe._detect_match(cur, tgt_emb)
-        cur = pipe._swap_blend(cur, best_kps, present, src_emb)
-    _ = float(checksum(cur))
-    dt = time.time() - t0
-    print(f"bench chain: {iters * chunk / dt:.2f} fps "
-          f"({dt / iters * 1000:.0f} ms/chunk{chunk})", flush=True)
-
-    # ---- isolated sub-ops ----
+    # ---- isolated sub-ops (small programs) ----
     from ghost_tpu.models.scrfd import preprocess_frames
     from ghost_tpu.nn.layers import resize
     from ghost_tpu.ops.umeyama import estimate_norm
     from ghost_tpu.ops.warp import (warp_affine_similarity,
                                     warp_and_blend_similarity)
 
-    canvas, _scale = jax.jit(
-        lambda f: preprocess_frames(f, cfg.det_size))(frames)
-    canvas = jax.block_until_ready(canvas)
+    pre = jax.jit(lambda f: preprocess_frames(f, cfg.det_size)[0])
+    timed("preprocess(letterbox 640)", pre, frames)
+    canvas = pre(frames)
 
-    timed("preprocess(letterbox 640)",
-          jax.jit(lambda f: preprocess_frames(f, cfg.det_size)[0]), frames)
     timed("scrfd fwd (64x640)",
           jax.jit(lambda v, c: pipe.det_mod.apply(v, c)),
           pipe.det_vars, canvas)
@@ -135,12 +112,11 @@ def main():
                                                        subpix=2)),
           frames, m)
 
-    m112 = m * (112.0 / 224.0)
-    timed("stageA crops112 x2 lanes (half)",
+    timed("stageA small+crops112 x2 (half)",
           jax.jit(lambda f, mm: warp_affine_similarity(
               resize(f.astype(jnp.bfloat16), (540, 960), method="area"),
               jnp.concatenate([mm[:, None], mm[:, None]], 1) * 0.5, 112)),
-          frames, m112)
+          frames, m)
 
     swap = jnp.asarray(
         rng.uniform(0, 255, (chunk, 224, 224, 3)).astype(np.float32))
@@ -153,6 +129,35 @@ def main():
 
     timed("resize 224->256 (64)",
           jax.jit(lambda x: resize(x, (256, 256), method="bilinear")), swap)
+
+    # ---- full stages (the bench programs) ----
+    def stage_a(f):
+        return pipe._detect_match(f, tgt_emb)
+
+    def stage_b(f, k):
+        return pipe._swap_blend(f, k, present, src_emb)
+
+    timed("stage A (detect_match, 64)", stage_a, frames, reps=3)
+    try:
+        a = stage_a(frames)
+        timed("stage B (swap_blend, 64)", stage_b, frames, a[0], reps=3)
+    except Exception as e:
+        print(f"stage B setup failed: {e}", flush=True)
+
+    # chained fps (bench methodology)
+    try:
+        cur = frames
+        iters = 4
+        t0 = time.time()
+        for _ in range(iters):
+            best_kps, _s, _sc, _rk = pipe._detect_match(cur, tgt_emb)
+            cur = pipe._swap_blend(cur, best_kps, present, src_emb)
+        _ = float(checksum(cur))
+        dt = time.time() - t0
+        print(f"bench chain: {iters * chunk / dt:.2f} fps "
+              f"({dt / iters * 1000:.0f} ms/chunk{chunk})", flush=True)
+    except Exception as e:
+        print(f"bench chain failed: {str(e)[:300]}", flush=True)
 
 
 if __name__ == "__main__":
