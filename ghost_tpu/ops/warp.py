@@ -181,8 +181,30 @@ def _tent_matrix(positions, grid: int):
     return jnp.maximum(0.0, 1.0 - jnp.abs(positions[..., None] - k))
 
 
+def _sample_nearest_batch(imgs, xs, ys):
+    """Single-tap nearest sampling via flat linear-index take.
+
+    One gather tap per output pixel instead of bilinear's four — the
+    gather is the measured bottleneck of the similarity warps on TPU
+    (~10 ns/tap), so pairing nearest taps with a subpix-oversampled
+    source grid is both faster AND more accurate than bilinear taps on
+    a coarse grid."""
+    b, h_in, w_in, c = imgs.shape
+    out_shape = xs.shape
+    flat = imgs.reshape(b * h_in * w_in, c)
+    bidx = jnp.arange(b, dtype=jnp.int32).reshape((b,) + (1,) * (xs.ndim - 1))
+    xi = jnp.clip(jnp.round(xs).astype(jnp.int32), 0, w_in - 1)
+    yi = jnp.clip(jnp.round(ys).astype(jnp.int32), 0, h_in - 1)
+    lin = (bidx * h_in + yi) * w_in + xi
+    v = jnp.take(flat, lin.reshape(-1), axis=0).reshape(*out_shape, c)
+    valid = (jnp.round(xs) >= 0) & (jnp.round(xs) < w_in) & \
+        (jnp.round(ys) >= 0) & (jnp.round(ys) < h_in)
+    return jnp.where(valid[..., None], v, jnp.asarray(0.0, v.dtype))
+
+
 def warp_affine_similarity(frames, m, out_size: int, grid: int | None = None,
-                           compute_dtype=jnp.bfloat16, subpix: int = 1):
+                           compute_dtype=jnp.bfloat16, subpix: int = 1,
+                           interp: str = "bilinear"):
     """Crop extraction for SIMILARITY matrices, gather-free on the frame.
 
     The inverse of a similarity M = s*R + t is itself a similarity:
@@ -256,11 +278,16 @@ def warp_affine_similarity(frames, m, out_size: int, grid: int | None = None,
     col_w = _tent_matrix(col_pos, w).astype(compute_dtype)  # (B,T,g,W)
 
     fr = frames.astype(compute_dtype)
-    inter = jnp.einsum("btgh,bhwc->btgwc", row_w, fr,
+    # contract W first: the (B,T,H,n_q,C) intermediate is smaller than
+    # (B,T,n_q,W,C) whenever n_q < W, and the second contraction is
+    # then over H < W — less HBM and fewer FLOPs for the same result
+    # (separable linear resamples commute)
+    inter = jnp.einsum("btkw,bhwc->bthkc", col_w, fr,
                        preferred_element_type=jnp.float32)
     inter = inter.astype(compute_dtype)
-    inter = jnp.einsum("btgwc,btkw->btgkc", inter, col_w,
+    inter = jnp.einsum("btgh,bthkc->btgkc", row_w, inter,
                        preferred_element_type=jnp.float32)
+    inter = inter.astype(compute_dtype)
     # inter[b,t,j,k,c] = image at q = (q0+k/sub, q0+j/sub)  (k~x, j~y)
     inter = inter.reshape(b * t_faces, n_q, n_q, c)
 
@@ -274,12 +301,16 @@ def warp_affine_similarity(frames, m, out_size: int, grid: int | None = None,
     sinf = sin.reshape(-1)[:, None, None]
     qx = (cosf * (xs - pc) + sinf * (ys - pc) + pc - q0) * subpix
     qy = (-sinf * (xs - pc) + cosf * (ys - pc) + pc - q0) * subpix
-    out = _sample_bilinear_batch(inter, qx, qy, "constant", 0.0)
+    if interp == "nearest":
+        out = _sample_nearest_batch(inter, qx, qy)
+    else:
+        out = _sample_bilinear_batch(inter, qx, qy, "constant", 0.0)
     return out.astype(jnp.float32)
 
 
 def warp_and_blend_similarity(frame, swap, mask, m_crop, present=None,
-                              grid: int = 320):
+                              grid: int = 320, rot_subpix: int = 1,
+                              rot_interp: str = "bilinear"):
     """Paste-back for SIMILARITY alignment matrices, gather-free on the
     full frame.
 
@@ -331,7 +362,22 @@ def warp_and_blend_similarity(frame, swap, mask, m_crop, present=None,
     xc = cos[:, None, None] * uu - sin[:, None, None] * vv + pc
     yc = sin[:, None, None] * uu + cos[:, None, None] * vv + pc
     sm = jnp.concatenate([swap, mask.astype(swap.dtype)], axis=-1)
-    crop_rot = _sample_bilinear_batch(sm, xc, yc, "constant", 0.0)
+    if rot_subpix > 1 or rot_interp == "nearest":
+        # gathers cost ~10 ns/tap on this TPU: nearest taps from an
+        # einsum-upsampled source beat 4-tap bilinear from the original
+        # in both speed (1 tap) and accuracy (error ~1/(2*subpix) px)
+        if rot_subpix > 1:
+            from ghost_tpu.nn.layers import resize as _resize
+
+            sm = _resize(sm.astype(jnp.bfloat16),
+                         (crop * rot_subpix, crop * rot_subpix),
+                         method="bilinear")
+            # out pixel o of the upsample sits at source (o+.5)/s-.5
+            xc = (xc + 0.5) * rot_subpix - 0.5
+            yc = (yc + 0.5) * rot_subpix - 0.5
+        crop_rot = _sample_nearest_batch(sm, xc, yc)
+    else:
+        crop_rot = _sample_bilinear_batch(sm, xc, yc, "constant", 0.0)
 
     # ---- step 2: axis-aligned tent matmuls
     # u(p_f) = pc + R^-1 (s R p_f + t - pc) = s*p_f + pc + R^-1 (t - pc)

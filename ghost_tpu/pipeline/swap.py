@@ -83,6 +83,18 @@ class SwapConfig:
     # similarity paste-back); 'gather' = direct single-resample
     # cv2-parity warp
     crop_mode: str = "similarity"
+    # rotation-resample tap strategy (measured ~10 ns/gather-tap on
+    # v5e): 'nearest' takes ONE tap from a subpix-oversampled grid
+    # (error ~1/(2*subpix) px), 'bilinear' takes four
+    crop_interp: str = "nearest"
+    crop_subpix: int = 3
+    # same tradeoff for the paste-back's crop-space rotation resample:
+    # nearest taps from a 2x einsum-upsampled [swap|mask]
+    blend_rot_subpix: int = 2
+    # generator/landmark/mask micro-batch groups inside stage B
+    # (lax.map): divides the transient activation peak by this factor —
+    # chunk 64 sits within ~100 MB of the 16 GB HBM roof without it
+    gen_groups: int = 2
     # stage-A MATCHING crops sample from an area-downsampled frame
     # (1 = full res). Embedding crops are 112 px from faces typically
     # >= 200 px, so 2x downsample loses nothing the ArcFace resize
@@ -221,7 +233,8 @@ class SwapPipeline:
 
         if cfg.crop_mode == "similarity":
             crops = warp_affine_similarity(
-                small, m.reshape(b, k, 2, 3), crop_px)
+                small, m.reshape(b, k, 2, 3), crop_px, subpix=2,
+                interp=cfg.crop_interp)
         else:
             rep = jnp.repeat(small.astype(jnp.float32), k, axis=0)
             crops = warp_affine(rep, m, (crop_px, crop_px))
@@ -256,16 +269,55 @@ class SwapPipeline:
         b, t = kps.shape[:2]
         cs = cfg.crop_size
 
-        m = estimate_norm(kps.reshape(b * t, 5, 2), cs,
-                          mode=cfg.align_mode)  # (B*T,2,3)
+        m_all = estimate_norm(kps.reshape(b * t, 5, 2), cs,
+                              mode=cfg.align_mode).reshape(b, t, 2, 3)
+
+        # micro-batch the per-frame body (crops -> G -> landmarks ->
+        # mask -> blend) over gen_groups via lax.map: divides the
+        # transient activation peak (chunk 64 otherwise grazes the HBM
+        # roof) at negligible wall cost
+        g = cfg.gen_groups
+        if g <= 1 or b % g != 0 or b < g:
+            g = 1
+
+        def body(args):
+            return self._swap_body(variables, *args,
+                                   source_embeds=source_embeds,
+                                   mask_params=mask_params)
+
+        if g == 1:
+            res = body((frames_u8, m_all, present))
+        else:
+            bg = b // g
+            grouped = (
+                frames_u8.reshape(g, bg, *frames_u8.shape[1:]),
+                m_all.reshape(g, bg, t, 2, 3),
+                present.reshape(g, bg, t),
+            )
+            res = jax.lax.map(body, grouped)
+            res = jax.tree.map(
+                lambda x: x.reshape((x.shape[0] * x.shape[1],)
+                                    + x.shape[2:]), res)
+        return res
+
+    def _swap_body(self, variables, frames_u8, m, present, source_embeds,
+                   mask_params):
+        """Per-frame stage-B body over one micro-batch: frames
+        (B,H,W,3) u8, m (B,T,2,3), present (B,T)."""
+        cfg = self.cfg
+        b, t = m.shape[:2]
+        cs = cfg.crop_size
+
         if cfg.crop_mode == "similarity":
             # tent-matmul crop extraction: no (B*T,H,W,3) f32 frame
             # replication, no frame-sized gathers
-            crops = warp_affine_similarity(frames_u8, m.reshape(b, t, 2, 3),
-                                           cs, subpix=2)
+            crops = warp_affine_similarity(frames_u8, m, cs,
+                                           subpix=cfg.crop_subpix,
+                                           interp=cfg.crop_interp)
         else:
             frames_f = frames_u8.astype(jnp.float32)
-            crops = warp_affine(jnp.repeat(frames_f, t, axis=0), m, (cs, cs))
+            crops = warp_affine(jnp.repeat(frames_f, t, axis=0),
+                                m.reshape(b * t, 2, 3), (cs, cs))
 
         # generator input: 256, [-1,1]
         gen_in = resize(crops / 255.0, (cfg.gen_size, cfg.gen_size),
@@ -325,7 +377,8 @@ class SwapPipeline:
             if cfg.pasteback == "similarity":
                 out = warp_and_blend_similarity(
                     out, swap224[:, j], mask[:, j], m[:, j],
-                    present=present[:, j])
+                    present=present[:, j],
+                    rot_subpix=cfg.blend_rot_subpix)
             elif cfg.pasteback == "pallas":
                 from ghost_tpu.ops.pallas.warp_kernel import pasteback_pallas
 

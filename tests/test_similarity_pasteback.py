@@ -61,3 +61,25 @@ def test_similarity_pasteback_identity_and_present():
     np.testing.assert_allclose(out[0, 40:, 40:], frame[0, 40:, 40:], atol=1.0)
     # absent face: untouched
     np.testing.assert_allclose(out[1], frame[1], atol=1e-3)
+
+
+@pytest.mark.parametrize("theta", [0.15, -0.3])
+def test_nearest_rot_subpix_close(theta):
+    """Production blend path: single-tap nearest rotation resample from
+    a 2x einsum-upsampled [swap|mask] — must stay within a gray level
+    of the direct-gather reference on smooth content."""
+    b, h, w, cs = 1, 128, 160, 64
+    frame = np.stack([smooth_image(h, w) for _ in range(b)])
+    swap = np.stack([smooth_image(cs, cs) * 0.5 for _ in range(b)])
+    yy, xx = np.meshgrid(np.arange(cs), np.arange(cs), indexing="ij")
+    r = np.sqrt((yy - cs / 2) ** 2 + (xx - cs / 2) ** 2)
+    mask = np.clip(1.5 - r / (cs / 3), 0, 1).astype(np.float32)[None, :, :, None]
+    m = np.stack([similarity_m(0.5, theta, -20.0, -10.0)] * b)
+    ref = np.asarray(warp_and_blend(jnp.asarray(frame), jnp.asarray(swap),
+                                    jnp.asarray(mask), jnp.asarray(m)))
+    fast = np.asarray(warp_and_blend_similarity(
+        jnp.asarray(frame), jnp.asarray(swap), jnp.asarray(mask),
+        jnp.asarray(m), grid=128, rot_subpix=2))
+    err = np.abs(ref - fast)
+    assert err.mean() < 0.8, err.mean()
+    assert np.quantile(err, 0.99) < 5.0
