@@ -15,6 +15,8 @@ Usage:
 from __future__ import annotations
 
 import argparse
+
+from ghost_tpu.cli import str2bool
 import os
 import time
 
@@ -39,12 +41,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--target_image", default="", type=str)
     p.add_argument("--out_image_name", default="result.png", type=str)
     # TPU-native extras
+    p.add_argument("--streaming", default=True, type=str2bool,
+                   help="constant-memory decode->swap->encode streaming")
     p.add_argument("--arcface_path", default="weights/backbone.pth")
     p.add_argument("--detector_path", default="", help="SCRFD weights (msgpack)")
     p.add_argument("--landmark_path", default="", help="landmark weights (msgpack)")
     p.add_argument("--sr_path", default="", help="SR generator weights")
-    p.add_argument("--bf16", default=True, type=bool)
-    p.add_argument("--allow_random_weights", default=False, type=bool,
+    p.add_argument("--bf16", default=True, type=str2bool)
+    p.add_argument("--allow_random_weights", default=False, type=str2bool,
                    help="run without checkpoints (smoke tests / demos)")
     p.add_argument("--width", default=1.0, type=float,
                    help="AEI channel multiplier (1.0 = reference)")
@@ -180,6 +184,27 @@ def main(argv=None):
         result = pipe.swap_image(frame, sources, targets)
         write_image_rgb(args.out_image_name, result)
         print(f"Swapped Image saved with path {args.out_image_name}")
+    elif args.streaming:
+        # constant-memory path: decode-thread ring -> stage A/B with
+        # async overlap -> incremental encode (replaces the reference's
+        # whole-video-in-RAM read_video, video_processing.py:37-66)
+        from ghost_tpu.data.frames import stream_video_chunks
+        from ghost_tpu.pipeline.video import VideoChunkWriter, video_fps
+
+        writer = VideoChunkWriter(args.out_video_name,
+                                  video_fps(args.target_video))
+        n_out = 0
+        for out in pipe.swap_video_stream(
+                stream_video_chunks(args.target_video, pipe.cfg.chunk_size),
+                sources, targets):
+            writer.write(out)
+            n_out += out.shape[0]
+        writer.close()
+        if n_out == 0:
+            raise SystemExit(f"no frames decoded from {args.target_video}")
+        if add_audio_from_video(args.target_video, args.out_video_name):
+            print("audio remuxed")
+        print(f"Video saved with path {args.out_video_name} ({n_out} frames)")
     else:
         frames, fps = read_video(args.target_video)
         out = pipe.swap_video_frames(frames, sources, targets)

@@ -19,6 +19,8 @@ from __future__ import annotations
 
 import argparse
 
+from ghost_tpu.cli import str2bool
+
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="ghost-tpu training")
@@ -63,7 +65,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--d_interval", default=10, type=int)
     p.add_argument("--num_workers", default=8, type=int)
     p.add_argument("--max_steps", default=None, type=int)
-    p.add_argument("--bf16", default=True, type=bool)
+    p.add_argument("--bf16", default=True, type=str2bool)
     p.add_argument("--width", default=1.0, type=float)
     p.add_argument("--arcface_depth", default="iresnet100",
                    choices=["iresnet34", "iresnet50", "iresnet100", "tiny"],

@@ -140,6 +140,12 @@ class FrameRing:
             return int(self._lib.gr_ring_size(self._ring))
         return self._q.qsize()
 
+    def drained(self) -> bool:
+        """True only when the producer closed the ring AND every frame
+        has been popped — the one condition that means end-of-stream
+        (a pop timeout alone is a stall, not EOF)."""
+        return self._closed.is_set() and self.size() == 0
+
     def close(self):
         self._closed.set()
 
@@ -182,7 +188,14 @@ def stream_video_chunks(path: str, chunk_size: int,
     while True:
         f = ring.pop(timeout=30.0)
         if f is None:
-            break
+            # only a closed-and-drained ring is EOF; a timeout with the
+            # decode thread still alive is a stall and must not
+            # silently truncate the video
+            if ring.drained():
+                break
+            if not t.is_alive():
+                break
+            continue  # producer alive: keep waiting
         buf.append(f)
         if len(buf) == chunk_size:
             yield np.stack(buf)

@@ -493,6 +493,113 @@ class SwapPipeline:
             out[i : i + bsz] = np.asarray(res)
         return out[:n]
 
+    def swap_video_stream(
+        self,
+        chunks,
+        source_crops_rgb: np.ndarray,
+        target_crops_rgb: np.ndarray | None = None,
+        smooth: bool = True,
+    ):
+        """Constant-memory streaming swap (reference reads the WHOLE
+        video into RAM first, video_processing.py:37-66; this consumes
+        an iterator of (<=chunk,H,W,3) RGB uint8 chunks — e.g.
+        data.frames.stream_video_chunks' decode-thread ring — and
+        yields swapped chunks in order).
+
+        Stage B for chunk i is dispatched right after stage A for chunk
+        i+1, so detection, generation and host decode overlap via async
+        dispatch. Keypoint smoothing runs windowed with a one-chunk lag
+        and 2-frame context tails — exact parity with the full-video
+        smoothing for the reference's +-2-frame window.
+        """
+        from ghost_tpu.pipeline.smoothing import smooth_tracks
+
+        cfg = self.cfg
+        t = source_crops_rgb.shape[0]
+        bsz = cfg.chunk_size
+        src_emb = self.embed_sources(source_crops_rgb)
+        match_targets = target_crops_rgb is not None
+        tgt_emb = (self.embed_targets(target_crops_rgb) if match_targets
+                   else normalize_embedding(src_emb))
+
+        def run_a(frames_np):
+            n = frames_np.shape[0]
+            pad = bsz - n
+            if pad:
+                frames_np = np.concatenate(
+                    [frames_np, np.repeat(frames_np[-1:], pad, 0)], 0)
+            kps, sim, scores, raw_kps = self._detect_match(
+                jnp.asarray(frames_np), tgt_emb)
+            if match_targets:
+                kps_np, sim_np = np.asarray(kps), np.asarray(sim)
+            else:
+                kps_np = np.asarray(raw_kps)[:, :t]
+                sim_np = np.asarray(scores)[:, :t]
+            present = sim_np > (cfg.similarity_th if match_targets else 0.0)
+            if pad:
+                present[n:] = False
+            return frames_np, n, kps_np, sim_np, present
+
+        mask_params_t = None
+        probe_done = not cfg.mask_per_shot
+        prev = None  # (frames, n, kps, present) awaiting stage B
+        tail_kps = None  # raw kps/present of the previous chunk's tail
+        tail_present = None
+
+        def run_b(frames_np, n, kps_np, present, head_kps, head_present):
+            nonlocal mask_params_t, probe_done
+            k = kps_np
+            p = present
+            if smooth:
+                lo = 0 if tail_kps is None else tail_kps.shape[0]
+                ctx_k = [kps_np[:n]]
+                ctx_p = [present[:n]]
+                if tail_kps is not None:
+                    ctx_k.insert(0, tail_kps)
+                    ctx_p.insert(0, tail_present)
+                if head_kps is not None:
+                    ctx_k.append(head_kps)
+                    ctx_p.append(head_present)
+                sm = smooth_tracks(np.concatenate(ctx_k, 0),
+                                   np.concatenate(ctx_p, 0), n=2)
+                k = kps_np.copy()
+                k[:n] = sm[lo:lo + n]
+            if not probe_done:
+                from ghost_tpu.ops.mask import mask_params_from_offset
+
+                default = jnp.tile(
+                    jnp.asarray(cfg.mask_params, jnp.float32)[None], (t, 1))
+                _probe, offs0 = self._swap_blend(
+                    jnp.asarray(frames_np), jnp.asarray(k),
+                    jnp.asarray(p), src_emb, default)
+                offs0 = np.asarray(offs0)
+                chosen = []
+                for j in range(t):
+                    idx = np.nonzero(p[:n, j])[0]
+                    off = float(offs0[idx[0], j]) if len(idx) else 0.0
+                    chosen.append(mask_params_from_offset(off))
+                mask_params_t = jnp.asarray(chosen, jnp.float32)
+                probe_done = True
+            res = self._swap_blend(jnp.asarray(frames_np), jnp.asarray(k),
+                                   jnp.asarray(p), src_emb, mask_params_t)
+            if mask_params_t is not None:
+                res = res[0]
+            return np.asarray(res)[:n]
+
+        for frames_np in chunks:
+            frames_np = np.asarray(frames_np)
+            cur = run_a(frames_np)
+            if prev is not None:
+                pf, pn, pk, pp = prev
+                out = run_b(pf, pn, pk, pp, cur[2][:2], cur[4][:2])
+                tail_kps, tail_present = pk[max(pn - 2, 0):pn], \
+                    pp[max(pn - 2, 0):pn]
+                yield out
+            prev = (cur[0], cur[1], cur[2], cur[4])
+        if prev is not None:
+            pf, pn, pk, pp = prev
+            yield run_b(pf, pn, pk, pp, None, None)
+
     def swap_image(
         self,
         frame_rgb_u8: np.ndarray,

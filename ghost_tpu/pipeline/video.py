@@ -71,6 +71,42 @@ def write_video(path: str, frames_rgb: np.ndarray, fps: float) -> None:
     out.release()
 
 
+class VideoChunkWriter:
+    """Incremental mp4 writer for the streaming swap path (constant
+    memory: chunks are encoded as they arrive instead of materializing
+    the full output video like the reference's VideoWriter loop over an
+    in-RAM list, video_processing.py:191-243)."""
+
+    def __init__(self, path: str, fps: float):
+        if cv2 is None:
+            raise RuntimeError("cv2 unavailable: cannot encode video")
+        self.path = path
+        self.fps = fps
+        self._writer = None
+
+    def write(self, frames_rgb: np.ndarray) -> None:
+        if self._writer is None:
+            h, w = frames_rgb.shape[1:3]
+            self._writer = cv2.VideoWriter(
+                self.path, cv2.VideoWriter_fourcc(*"mp4v"), self.fps, (w, h))
+        for f in frames_rgb:
+            self._writer.write(np.ascontiguousarray(f[:, :, ::-1]))
+
+    def close(self) -> None:
+        if self._writer is not None:
+            self._writer.release()
+            self._writer = None
+
+
+def video_fps(path: str) -> float:
+    if cv2 is None:
+        raise RuntimeError("cv2 unavailable")
+    cap = cv2.VideoCapture(path)
+    fps = cap.get(cv2.CAP_PROP_FPS)
+    cap.release()
+    return fps or 25.0
+
+
 def add_audio_from_video(src_video: str, dst_video: str) -> bool:
     """Remux the source's audio track onto dst (reference
     add_audio_from_another_video, video_processing.py:21-34). Gated on
