@@ -41,14 +41,6 @@ from ghost_tpu.ops.warp import (warp_affine, warp_affine_similarity,
                                 warp_and_blend, warp_and_blend_similarity)
 
 
-def _pick_tile(h: int, max_tile: int = 256, min_tile: int = 8) -> int:
-    """Largest divisor of h in [min_tile, max_tile] (0 if none)."""
-    for tile in range(min(max_tile, h), min_tile - 1, -1):
-        if h % tile == 0:
-            return tile
-    return 0
-
-
 @dataclasses.dataclass(frozen=True)
 class SwapConfig:
     """Knobs mirror the reference CLI (reference inference.py:127-151)."""
@@ -65,8 +57,7 @@ class SwapConfig:
     # paste-back strategy: 'similarity' = rotation-in-crop-space + MXU
     # tent matmuls (measured ~25x faster than the direct gather at
     # 1080p, see ops/warp.py warp_and_blend_similarity); 'gather' = the
-    # exact single-resample reference path; 'pallas' = tiled kernel
-    # (interpret-correct; Mosaic gather support pending on this jax)
+    # exact single-resample reference path
     pasteback: str = "similarity"
     # 'None' = reference best-of-5-pose-templates (video_processing.py:133);
     # 'arcface' = frontal template only (1/5 the alignment work; faces in
@@ -379,12 +370,6 @@ class SwapPipeline:
                     out, swap224[:, j], mask[:, j], m[:, j],
                     present=present[:, j],
                     rot_subpix=cfg.blend_rot_subpix)
-            elif cfg.pasteback == "pallas":
-                from ghost_tpu.ops.pallas.warp_kernel import pasteback_pallas
-
-                out = pasteback_pallas(out, swap224[:, j], mask[:, j],
-                                       m[:, j], present=present[:, j],
-                                       tile_h=_pick_tile(h))
             else:
                 out = warp_and_blend(out, swap224[:, j], mask[:, j], m[:, j],
                                      present=present[:, j])
