@@ -4,8 +4,10 @@
     at --max_images_per_dir (reference preprocess_vgg.py:14-43);
   * celeba mode: flat dir -> 256 aligned crops with optional
     --max_darken brightness sweep (reference preprocess_celeba.py:31-47);
-  * gender split (reference preprocess_gender.py) requires a gender
-    attribute model the stack doesn't ship; gated out with a message.
+  * gender mode: split aligned crops into male/female dirs via a
+    logistic head over the ArcFace embedding (the TPU-native stand-in
+    for insightface buffalo_l's genderage model the reference drives,
+    preprocess_gender.py:8-39); head weights via --gender_head_path.
 
 Detection/alignment run on-device through the SwapPipeline's detector
 in batches instead of per-image host calls.
@@ -20,9 +22,14 @@ import os
 
 def build_parser():
     p = argparse.ArgumentParser(description="ghost-tpu dataset preprocessing")
-    p.add_argument("--mode", default="celeba", choices=["vgg", "celeba"])
+    p.add_argument("--mode", default="celeba",
+                   choices=["vgg", "celeba", "gender"])
     p.add_argument("--input_dir", required=True)
     p.add_argument("--output_dir", required=True)
+    p.add_argument("--gender_head_path", default="",
+                   help="msgpack {'w': (512,), 'b': ()} logistic gender "
+                        "head over ArcFace embeddings (--mode gender)")
+    p.add_argument("--arcface_path", default="weights/backbone.pth")
     p.add_argument("--crop_size", default=256, type=int)
     p.add_argument("--max_images_per_dir", default=8, type=int)
     p.add_argument("--max_darken", default=0, type=int,
@@ -67,6 +74,41 @@ def main(argv=None):
                 cv2.imwrite(os.path.join(out_dir, f"{kept}.jpg"),
                             crops[0][:, :, ::-1])
                 kept += 1
+    elif args.mode == "gender":
+        # preprocess_gender parity (reference preprocess_gender.py:8-39):
+        # split aligned crops into male/female dirs. The reference uses
+        # insightface buffalo_l's genderage model; TPU-native path: a
+        # logistic head over the ArcFace embedding (gender is ~linearly
+        # separable in that space). Head weights via --gender_head_path.
+        from ghost_tpu.core.checkpoint import load_msgpack
+
+        if args.gender_head_path:
+            head = load_msgpack(args.gender_head_path)
+            w = np.asarray(head["w"], np.float32)
+            b = float(np.asarray(head["b"]))
+        else:
+            print("WARNING: random gender head (--gender_head_path not "
+                  "given); split will be arbitrary")
+            w = np.random.default_rng(0).normal(0, 0.1, (512,)).astype(
+                np.float32)
+            b = 0.0
+        male_dir = os.path.join(args.output_dir, "male")
+        female_dir = os.path.join(args.output_dir, "female")
+        os.makedirs(male_dir, exist_ok=True)
+        os.makedirs(female_dir, exist_ok=True)
+        images = sorted(glob.glob(os.path.join(args.input_dir, "*.*g")))
+        for path in images:
+            img = cv2.imread(path)
+            if img is None:
+                continue
+            crops, _ = pipe.crop_faces(img[:, :, ::-1])
+            if crops.shape[0] == 0:
+                continue
+            emb = np.asarray(pipe.embed_targets(crops[:1]))[0]
+            is_male = float(emb @ w + b) > 0.0
+            out_dir = male_dir if is_male else female_dir
+            cv2.imwrite(os.path.join(out_dir, os.path.basename(path)),
+                        crops[0][:, :, ::-1])
     else:  # celeba
         os.makedirs(args.output_dir, exist_ok=True)
         images = sorted(glob.glob(os.path.join(args.input_dir, "*.*g")))

@@ -46,6 +46,9 @@ class PrefetchLoader:
             idx_q.put(int(i))
         stop = threading.Event()
 
+        failures = [0]
+        fail_budget = max(2 * len(self.dataset), 64)
+
         def worker():
             while not stop.is_set():
                 try:
@@ -54,9 +57,16 @@ class PrefetchLoader:
                     return
                 try:
                     item_q.put(self.dataset[i])
-                except Exception:
+                except Exception as e:
                     # skip unreadable samples (the reference's per-sample
-                    # try/except resilience, train.py:101-165)
+                    # try/except resilience, train.py:101-165) — but a
+                    # fully unreadable dataset must surface, not spin
+                    failures[0] += 1
+                    if failures[0] > fail_budget:
+                        item_q.put(RuntimeError(
+                            f"dataset unreadable: {failures[0]} consecutive "
+                            f"sample failures (last: {e!r})"))
+                        return
                     idx_q.put(int(np.random.default_rng().integers(len(self.dataset))))
 
         threads = [threading.Thread(target=worker, daemon=True)
@@ -65,7 +75,12 @@ class PrefetchLoader:
             t.start()
         try:
             for _ in range(n_batches):
-                items = [item_q.get() for _ in range(self.batch_size)]
+                items = []
+                while len(items) < self.batch_size:
+                    it = item_q.get()
+                    if isinstance(it, Exception):
+                        raise it
+                    items.append(it)
                 batch = {
                     k: np.stack([it[k] for it in items]) for k in items[0]
                 }

@@ -88,3 +88,20 @@ def test_inference_cli_smoke(tmp_path):
     ])
     img = cv2.imread(str(out))
     assert img is not None and img.shape == (160, 180, 3)
+
+
+def test_preprocess_gender_smoke(tmp_path):
+    import cv2
+
+    from ghost_tpu.cli.preprocess import main
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        cv2.imwrite(str(d / f"{i}.jpg"),
+                    rng.integers(0, 255, (96, 96, 3), dtype=np.uint8))
+    out = tmp_path / "out"
+    main(["--mode", "gender", "--input_dir", str(d),
+          "--output_dir", str(out)])
+    assert (out / "male").is_dir() and (out / "female").is_dir()

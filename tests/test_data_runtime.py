@@ -96,3 +96,20 @@ def test_celeba_dataset_and_loader(tmp_path):
     assert len(batches) == 2
     assert batches[0]["xs"].shape == (4, 256, 256, 3)
     assert batches[0]["same_person"].shape == (4,)
+
+
+def test_loader_unreadable_dataset_raises():
+    """ADVICE r1: a fully unreadable dataset must raise, not respin
+    random indices forever."""
+    from ghost_tpu.data.loader import PrefetchLoader
+
+    class Broken:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            raise IOError("corrupt")
+
+    loader = PrefetchLoader(Broken(), batch_size=2, num_workers=1)
+    with pytest.raises(RuntimeError, match="unreadable"):
+        next(iter(loader))
