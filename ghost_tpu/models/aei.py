@@ -143,7 +143,8 @@ class AADLayer(nn.Module):
     @nn.compact
     def __call__(self, h_in, z_attr, z_id):
         cd = self.policy.compute_dtype
-        h = instance_norm(h_in.astype(jnp.float32)).astype(cd)
+        # stats in f32, tensors stay in compute dtype (bandwidth-bound)
+        h = instance_norm(h_in.astype(cd))
 
         ab_attr = Conv(2 * self.c_x, kernel_size=1, dtype=cd,
                        param_dtype=self.policy.param_dtype, name="attr_gb")(z_attr)

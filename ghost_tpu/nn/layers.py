@@ -188,10 +188,18 @@ class BatchNorm(nn.Module):
 
 def instance_norm(x, eps: float = 1e-5):
     """Torch InstanceNorm2d(affine=False) parity: per-sample per-channel,
-    biased variance over H, W (reference network/AADLayer.py:16,24)."""
-    mean = jnp.mean(x, axis=(1, 2), keepdims=True)
-    var = jnp.mean(jnp.square(x - mean), axis=(1, 2), keepdims=True)
-    return (x - mean) * lax.rsqrt(var + eps)
+    biased variance over H, W (reference network/AADLayer.py:16,24).
+
+    Statistics accumulate in f32 regardless of input dtype, but the
+    full-size tensors stay in the INPUT dtype — for bf16 activations
+    this halves the HBM traffic of the hot AAD normalizations (the
+    generator is bandwidth-bound) versus casting the whole tensor up.
+    For f32 inputs the math is bit-identical to the naive form."""
+    mean = jnp.mean(x, axis=(1, 2), keepdims=True, dtype=jnp.float32)
+    xc = x - mean.astype(x.dtype)
+    var = jnp.mean(jnp.square(xc), axis=(1, 2), keepdims=True,
+                   dtype=jnp.float32)
+    return xc * lax.rsqrt(var + eps).astype(x.dtype)
 
 
 def rms_instance_norm(x, eps: float = 1e-8):
