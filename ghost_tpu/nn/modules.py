@@ -19,7 +19,7 @@ never calls but ships (SURVEY.md §2.4):
 
 from __future__ import annotations
 
-from typing import Callable, Sequence
+from typing import Any, Callable, Sequence
 
 import flax.linen as nn
 import jax
@@ -118,3 +118,47 @@ def softmax_cross_entropy(logits, labels, label_smoothing: float = 0.0):
         smooth = -jnp.mean(logp, axis=-1)
         nll = (1.0 - label_smoothing) * nll + label_smoothing * smooth
     return nll
+
+
+def weight_norm(kernel, g, axis: int = -1, eps: float = 1e-12):
+    """Weight normalization w = g * v / ||v|| (apex.reparameterization /
+    torch.nn.utils.weight_norm parity: the norm is taken over every
+    axis EXCEPT `axis`, which carries one gain per output feature).
+
+    Functional form: converters store (v, g) and call this at apply
+    time; under jit the renormalization fuses into the consuming
+    matmul's operand preparation."""
+    reduce_axes = tuple(i for i in range(kernel.ndim)
+                        if i != (axis % kernel.ndim))
+    norm = jnp.sqrt(jnp.sum(jnp.square(kernel.astype(jnp.float32)),
+                            axis=reduce_axes, keepdims=True) + eps)
+    shape = [1] * kernel.ndim
+    shape[axis % kernel.ndim] = -1
+    return (kernel / norm.astype(kernel.dtype)) * jnp.reshape(
+        g, shape).astype(kernel.dtype)
+
+
+class WeightNormDense(nn.Module):
+    """Dense layer with weight normalization (apex.reparameterization
+    equivalent, usable wherever torch code applied weight_norm to a
+    Linear)."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        v = self.param("v", nn.initializers.lecun_normal(),
+                       (cin, self.features), self.param_dtype)
+        g = self.param("g", nn.initializers.ones, (self.features,),
+                       self.param_dtype)
+        w = weight_norm(v, g, axis=-1).astype(self.dtype)
+        y = x.astype(self.dtype) @ w
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,),
+                           self.param_dtype)
+            y = y + b.astype(self.dtype)
+        return y

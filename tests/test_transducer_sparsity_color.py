@@ -102,3 +102,24 @@ def test_hsv_roundtrip_vs_numpy(rng):
 def test_is_any_nan():
     assert not is_any_nan({"a": jnp.ones(3)})
     assert is_any_nan({"a": jnp.asarray([1.0, np.nan])})
+
+
+def test_weight_norm_torch_parity():
+    import pytest
+
+    """apex.reparameterization equivalent: w = g * v/||v|| with the norm
+    over all non-output axes (torch.nn.utils.weight_norm semantics)."""
+    torch = pytest.importorskip("torch")
+    import jax.numpy as jnp
+
+    from ghost_tpu.nn.modules import weight_norm
+
+    torch.manual_seed(0)
+    lin = torch.nn.Linear(6, 4)
+    wn = torch.nn.utils.weight_norm(lin)
+    with torch.no_grad():
+        w_ref = wn.weight.detach().numpy()  # (out, in)
+    v = wn.weight_v.detach().numpy().T  # (in, out)
+    g = wn.weight_g.detach().numpy().reshape(-1)
+    w = np.asarray(weight_norm(jnp.asarray(v), jnp.asarray(g), axis=-1))
+    np.testing.assert_allclose(w.T, w_ref, atol=1e-6)
