@@ -107,9 +107,9 @@ def main():
           pipe.lmk_vars, lmk_in)
 
     m = estimate_norm(kps.reshape(chunk, 5, 2), 224)
-    timed("stageB crops (simil, subpix2)",
-          jax.jit(lambda f, mm: warp_affine_similarity(f, mm[:, None], 224,
-                                                       subpix=2)),
+    timed("stageB crops (nearest sp3)",
+          jax.jit(lambda f, mm: warp_affine_similarity(
+              f, mm[:, None], 224, subpix=3, interp="nearest")),
           frames, m)
 
     timed("stageA small+crops112 x2 (half)",
@@ -122,9 +122,9 @@ def main():
         rng.uniform(0, 255, (chunk, 224, 224, 3)).astype(np.float32))
     mask = jnp.asarray(
         rng.uniform(0, 1, (chunk, 224, 224, 1)).astype(np.float32))
-    timed("blend (simil, bf16)",
+    timed("blend (nearest rs2)",
           jax.jit(lambda f, s, mk, mm: warp_and_blend_similarity(
-              f, s, mk, mm, present=None)),
+              f, s, mk, mm, present=None, rot_subpix=2)),
           frames, swap, mask, m)
 
     timed("resize 224->256 (64)",
@@ -158,6 +158,39 @@ def main():
               f"({dt / iters * 1000:.0f} ms/chunk{chunk})", flush=True)
     except Exception as e:
         print(f"bench chain failed: {str(e)[:300]}", flush=True)
+
+    # multi-identity throughput: T=2 targets (the reference's
+    # sequential per-identity paste-back loop, video_processing.py:240)
+    try:
+        cfg2 = SwapConfig(chunk_size=chunk, max_faces=4, crop_size=224,
+                          match_faces=3)
+        pipe2 = build_random_pipeline(
+            cfg2, policy=DEFAULT_POLICY, arcface_layers=(3, 13, 30, 3))
+        src2 = pipe2.embed_sources(
+            rng.integers(0, 255, (2, 224, 224, 3), dtype=np.uint8))
+        tgt2 = pipe2.embed_targets(
+            rng.integers(0, 255, (2, 224, 224, 3), dtype=np.uint8))
+        kps2 = jnp.asarray(
+            rng.uniform(400, 900, (chunk, 2, 5, 2)).astype(np.float32))
+        present2 = jnp.ones((chunk, 2), bool)
+        cur = frames
+        t0 = time.time()
+        a = pipe2._detect_match(cur, tgt2)
+        force(a)
+        b = pipe2._swap_blend(cur, kps2, present2, src2)
+        force(b)
+        print(f"T=2 compile+first: {time.time() - t0:.1f}s", flush=True)
+        iters = 4
+        t0 = time.time()
+        for _ in range(iters):
+            bk, _s, _sc, _rk = pipe2._detect_match(cur, tgt2)
+            cur = pipe2._swap_blend(cur, bk, present2, src2)
+        _ = float(checksum(cur))
+        dt = time.time() - t0
+        print(f"T=2 chain: {iters * chunk / dt:.2f} fps "
+              f"({dt / iters * 1000:.0f} ms/chunk{chunk})", flush=True)
+    except Exception as e:
+        print(f"T=2 chain failed: {str(e)[:300]}", flush=True)
 
 
 if __name__ == "__main__":
