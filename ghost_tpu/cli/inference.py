@@ -118,13 +118,37 @@ def load_pipeline(args):
         arc_vars = arc.init(jax.random.key(0), jnp.zeros((1, 112, 112, 3)))
     else:
         raise SystemExit(f"missing --arcface_path {args.arcface_path!r}")
-    det = SCRFD(policy=policy)
-    if args.detector_path:
-        det_vars = load_msgpack(args.detector_path)
+    if args.detector_path.endswith(".onnx"):
+        # the reference's own detector pack (scrfd_10g_bnkps.onnx),
+        # executed natively on TPU via the ONNX executor
+        from ghost_tpu.models.scrfd_onnx import SCRFDOnnx
+
+        det = SCRFDOnnx(args.detector_path, input_size=cfg.det_size)
+        det_vars = {}
+        if not det.has_kps:
+            print("WARNING: detector has no kps branch; alignment needs "
+                  "a *_bnkps model")
+    elif args.detector_path.endswith(".pth"):
+        # mmdet SCRFD checkpoint (e.g. SCRFD-2.5GF model_25GF.pth);
+        # boxes only — no kps branch in that family of checkpoints
+        from ghost_tpu.convert.torch_loader import (convert_scrfd_state_dict,
+                                                    load_torch_checkpoint)
+        from ghost_tpu.models.scrfd_v1e import SCRFDV1e
+
+        det = SCRFDV1e(policy=policy)
+        det_vars = jax.tree.map(jnp.asarray, convert_scrfd_state_dict(
+            load_torch_checkpoint(args.detector_path)))
+        print("WARNING: SCRFD-2.5GF has no kps branch; alignment keypoints "
+              "will be degenerate (detection/boxes only)")
     else:
-        det_vars = det.init(jax.random.key(0),
-                            jnp.zeros((1, cfg.det_size, cfg.det_size, 3)))
-        print("WARNING: random detector weights (--detector_path not given)")
+        det = SCRFD(policy=policy)
+        if args.detector_path:
+            det_vars = load_msgpack(args.detector_path)
+        else:
+            det_vars = det.init(jax.random.key(0),
+                                jnp.zeros((1, cfg.det_size, cfg.det_size, 3)))
+            print("WARNING: random detector weights "
+                  "(--detector_path not given)")
     lmk = Landmark106(policy=policy)
     if args.landmark_path:
         lmk_vars = load_msgpack(args.landmark_path)
