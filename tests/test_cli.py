@@ -105,3 +105,30 @@ def test_preprocess_gender_smoke(tmp_path):
     main(["--mode", "gender", "--input_dir", str(d),
           "--output_dir", str(out)])
     assert (out / "male").is_dir() and (out / "female").is_dir()
+
+
+def test_convert_cli_scrfd(tmp_path):
+    """Convert the reference's real SCRFD checkpoint to msgpack and load
+    it back identically."""
+    import os
+
+    ckpt = "/root/reference/coordinate_reg/model/SCRFD/model_25GF.pth"
+    if not os.path.exists(ckpt):
+        import pytest
+
+        pytest.skip("reference checkpoint not mounted")
+    import jax
+
+    from ghost_tpu.cli.convert import main
+    from ghost_tpu.core.checkpoint import load_msgpack
+    from ghost_tpu.convert.torch_loader import (convert_scrfd_state_dict,
+                                                load_torch_checkpoint)
+
+    out = tmp_path / "scrfd.msgpack"
+    main(["--kind", "scrfd", "--src", ckpt, "--out", str(out)])
+    got = load_msgpack(str(out))
+    ref = convert_scrfd_state_dict(load_torch_checkpoint(ckpt))
+    diff = jax.tree.map(lambda a, b: float(np.abs(np.asarray(a) -
+                                                  np.asarray(b)).max()),
+                        got, ref)
+    assert max(jax.tree.leaves(diff)) == 0.0
