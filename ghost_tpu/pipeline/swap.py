@@ -141,6 +141,8 @@ class SwapPipeline:
         self._detect_match_j = jax.jit(self._detect_match_impl)
         self._swap_blend_j = jax.jit(self._swap_blend_impl)
         self._embed_j = jax.jit(self._embed_impl)
+        self._swap_fused_j = jax.jit(self._swap_fused_impl,
+                                     static_argnums=4)
 
     def _detect_match(self, frames_u8, target_embeds):
         return self._detect_match_j(self._vars, frames_u8, target_embeds)
@@ -346,8 +348,23 @@ class SwapPipeline:
             lmks, lmks_tgt = lm_both[:n], lm_both[n:]
             offsets = jax.vmap(mask_offset_from_landmarks)(
                 lmks, lmks_tgt).reshape(b, t)
-            params_bt = jnp.tile(
-                jnp.asarray(mask_params, jnp.float32), (b, 1))  # (B*T,4)
+            if isinstance(mask_params, str):  # "auto": per-face params
+                # on-device mask_params_from_offset (masks.py:49-76
+                # thresholds) — the reference's IMAGE path selects
+                # params from the image's own landmarks
+                def sel(o):
+                    return jnp.where(
+                        o > 6, jnp.asarray((15.0, 15.0, 10.0, 2.7)),
+                        jnp.where(
+                            o > 3, jnp.asarray((10.0, 10.0, 8.0, 2.0)),
+                            jnp.where(
+                                o < -3, jnp.asarray((-5.0, 5.0, 10.0, 0.5)),
+                                jnp.asarray((5.0, 5.0, 5.0, 2.0)))))
+
+                params_bt = jax.vmap(sel)(offsets.reshape(-1))
+            else:
+                params_bt = jnp.tile(
+                    jnp.asarray(mask_params, jnp.float32), (b, 1))  # (B*T,4)
             mask = jax.vmap(
                 lambda lm, p: soft_face_mask_dynamic(
                     lm, cs, p[0], p[1], p[2], p[3])
@@ -377,6 +394,42 @@ class SwapPipeline:
         if offsets is not None:
             return out, offsets
         return out
+
+    def _swap_fused_impl(self, variables, frames_u8, target_embeds,
+                         source_embeds, match_targets: bool):
+        """Single-program detect->match->swap->blend (no host hop): the
+        latency path for stills, where no temporal smoothing separates
+        the stages. Semantics identical to stage A + stage B with
+        smooth=False."""
+        cfg = self.cfg
+        kps, sim, scores, raw_kps = self._detect_match_impl(
+            variables, frames_u8, target_embeds)
+        t = target_embeds.shape[0]
+        if match_targets:
+            present = sim > cfg.similarity_th
+        else:
+            kps = raw_kps[:, :t]
+            present = scores[:, :t] > 0.0
+        # "auto" = per-face on-device mask-parameter selection: the
+        # reference's image path derives params from the image's own
+        # landmarks (masks.py:38-49 with params=None)
+        mp = "auto" if cfg.mask_per_shot else None
+        out = self._swap_blend_impl(variables, frames_u8, kps, present,
+                                    source_embeds, mp)
+        return out[0] if isinstance(out, tuple) else out
+
+    def swap_image_fused(self, frame_rgb_u8: np.ndarray,
+                         source_crops_rgb: np.ndarray,
+                         target_crops_rgb: np.ndarray | None = None):
+        """--image_to_image in ONE device program (vs two + host hop)."""
+        src_emb = self.embed_sources(source_crops_rgb)
+        match_targets = target_crops_rgb is not None
+        tgt_emb = (self.embed_targets(target_crops_rgb) if match_targets
+                   else normalize_embedding(src_emb))
+        out = self._swap_fused_j(self._vars,
+                                 jnp.asarray(frame_rgb_u8[None]),
+                                 tgt_emb, src_emb, match_targets)
+        return np.asarray(out)[0]
 
     # ------------------------------------------------------------ driver
     def swap_video_frames(

@@ -60,3 +60,23 @@ def test_absent_faces_pass_through(pipe, rng):
     finally:
         pipe.cfg = old
     np.testing.assert_array_equal(out, frames)
+
+
+def test_fused_image_swap_matches_two_stage():
+    """swap_image_fused (one device program, on-device per-face mask
+    params) must reproduce the two-stage swap_image exactly on a single
+    image."""
+    import numpy as np
+
+    from ghost_tpu.pipeline.swap import SwapConfig, build_random_pipeline
+
+    rng = np.random.default_rng(0)
+    cfg = SwapConfig(chunk_size=2, max_faces=2, crop_size=224)
+    pipe = build_random_pipeline(cfg, seed=0)
+    frame = rng.integers(0, 255, (160, 200, 3), dtype=np.uint8)
+    sources = rng.integers(0, 255, (1, 224, 224, 3), dtype=np.uint8)
+
+    two_stage = pipe.swap_image(frame, sources, None)
+    fused = pipe.swap_image_fused(frame, sources, None)
+    assert fused.shape == frame.shape and fused.dtype == np.uint8
+    np.testing.assert_array_equal(fused, two_stage)
