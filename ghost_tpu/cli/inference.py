@@ -205,7 +205,8 @@ def main(argv=None):
     start = time.time()
     if args.image_to_image:
         frame = read_image_rgb(args.target_image)
-        result = pipe.swap_image(frame, sources, targets)
+        # one device program (bit-exact vs the two-stage path)
+        result = pipe.swap_image_fused(frame, sources, targets)
         write_image_rgb(args.out_image_name, result)
         print(f"Swapped Image saved with path {args.out_image_name}")
     elif args.streaming:

@@ -123,3 +123,33 @@ def test_weight_norm_torch_parity():
     g = wn.weight_g.detach().numpy().reshape(-1)
     w = np.asarray(weight_norm(jnp.asarray(v), jnp.asarray(g), axis=-1))
     np.testing.assert_allclose(w.T, w_ref, atol=1e-6)
+
+
+def test_quality_metrics():
+    """id-sim / PSNR / perceptual distance harness sanity."""
+    import jax
+    import jax.numpy as jnp
+
+    from ghost_tpu.core.precision import FULL_PRECISION
+    from ghost_tpu.models.arcface import IResNet
+    from ghost_tpu.utils.quality import (id_similarity, perceptual_distance,
+                                         psnr)
+
+    rng = np.random.default_rng(0)
+    arc = IResNet(layers=(1, 1, 1, 1), policy=FULL_PRECISION)
+    v = arc.init(jax.random.key(0), jnp.zeros((1, 112, 112, 3)))
+    arc_apply = lambda x: arc.apply(v, x)
+
+    a = jnp.asarray(rng.uniform(-1, 1, (2, 112, 112, 3)).astype(np.float32))
+    sim_self = np.asarray(id_similarity(arc_apply, a, a))
+    np.testing.assert_allclose(sim_self, 1.0, atol=1e-5)
+
+    u8 = (np.asarray(a) * 127.5 + 127.5).astype(np.uint8)
+    assert float(psnr(jnp.asarray(u8), jnp.asarray(u8))[0]) > 80.0
+    noisy = np.clip(u8.astype(np.int32) + 10, 0, 255).astype(np.uint8)
+    assert float(psnr(jnp.asarray(u8), jnp.asarray(noisy))[0]) < 40.0
+
+    feats = lambda x: [x, x[:, ::2, ::2]]  # stand-in feature pyramid
+    d_same = np.asarray(perceptual_distance(feats, a, a))
+    d_diff = np.asarray(perceptual_distance(feats, a, -a))
+    assert np.all(d_same < 1e-6) and np.all(d_diff > d_same + 1e-3)
