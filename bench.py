@@ -57,11 +57,17 @@ def main():
     )
     present = jnp.ones((chunk, 1), bool)
 
+    # steady-state production path: per-shot mask params ride as a
+    # traced array (the probe that selects them is a one-time cost per
+    # video, amortized away; the per-chunk cost — second landmark pass
+    # + dynamic mask — is what this measures)
+    mask_params = jnp.asarray([[5.0, 5.0, 5.0, 2.0]], jnp.float32)
+
     # stage A + stage B once for compile
     t0 = time.time()
     a = pipe._detect_match(frames_d, tgt_emb)
     jax.block_until_ready(a)
-    b = pipe._swap_blend(frames_d, kps, present, src_emb)
+    b = pipe._swap_blend(frames_d, kps, present, src_emb, mask_params)
     jax.block_until_ready(b)
     compile_s = time.time() - t0
 
@@ -79,7 +85,8 @@ def main():
     t0 = time.time()
     for _ in range(iters):
         best_kps, _sim, _scores, _raw = pipe._detect_match(cur, tgt_emb)
-        cur = pipe._swap_blend(cur, best_kps, present, src_emb)
+        cur, _offs = pipe._swap_blend(cur, best_kps, present, src_emb,
+                                      mask_params)
     # force execution via a data-dependent scalar: block_until_ready can
     # return before device execution finishes on remote-attached
     # platforms, and downloading full frames would time the transfer
