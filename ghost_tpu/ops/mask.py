@@ -187,16 +187,31 @@ def _gauss_weights_dynamic(sigma, radius: int):
     return w / jnp.sum(w)
 
 
+def _gauss_matrix_dynamic(sigma, size: int, radius: int):
+    """Dense (size, size) gaussian blur matrix for a TRACED sigma.
+
+    Row i holds exp(-(i-j)^2/2s^2) truncated at |i-j|>radius and
+    normalized by the FULL kernel mass (zero-padded-conv semantics:
+    border rows lose mass exactly like lax.conv with zero padding).
+    Dense matmuls run on the MXU — measured far faster than the
+    129-tap grouped conv this replaces on the per-shot mask path."""
+    idx = jnp.arange(size, dtype=jnp.float32)
+    d = idx[:, None] - idx[None, :]
+    s2 = 2.0 * jnp.maximum(sigma, 1e-3) ** 2
+    w = jnp.exp(-(d * d) / s2) * (jnp.abs(d) <= radius)
+    # full-kernel normalizer (same Z for every row, incl. truncation)
+    x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    z = jnp.sum(jnp.exp(-(x * x) / s2))
+    return w / z
+
+
 def _blur_axis_dynamic(x, sigma, radius: int, axis: int):
-    k = _gauss_weights_dynamic(sigma, radius)
+    """Gaussian blur along one axis with a traced sigma (MXU matmul)."""
+    size = x.shape[axis]
+    m = _gauss_matrix_dynamic(sigma, size, radius)
     x_m = jnp.moveaxis(x, axis, -1)
-    shape = x_m.shape
-    flat = x_m.reshape(-1, 1, shape[-1])
-    out = jax.lax.conv_general_dilated(
-        flat, k.reshape(1, 1, -1), (1,), ((radius, radius),),
-        dimension_numbers=("NCH", "OIH", "NCH"),
-    )
-    return jnp.moveaxis(out.reshape(shape), -1, axis)
+    out = jnp.einsum("...i,oi->...o", x_m, m)
+    return jnp.moveaxis(out, -1, axis)
 
 
 def soft_face_mask_dynamic(landmarks, size: int = 224, erode=5.0,
