@@ -43,6 +43,10 @@ def build_parser() -> argparse.ArgumentParser:
     # TPU-native extras
     p.add_argument("--streaming", default=True, type=str2bool,
                    help="constant-memory decode->swap->encode streaming")
+    p.add_argument("--smooth", default=True, type=str2bool,
+                   help="temporal keypoint smoothing (reference parity). "
+                        "Off = fused single-program detect->swap per "
+                        "chunk (fastest; stills are always fused)")
     p.add_argument("--arcface_path", default="weights/backbone.pth")
     p.add_argument("--detector_path", default="", help="SCRFD weights (msgpack)")
     p.add_argument("--landmark_path", default="", help="landmark weights (msgpack)")
@@ -221,7 +225,7 @@ def main(argv=None):
         n_out = 0
         for out in pipe.swap_video_stream(
                 stream_video_chunks(args.target_video, pipe.cfg.chunk_size),
-                sources, targets):
+                sources, targets, smooth=args.smooth):
             writer.write(out)
             n_out += out.shape[0]
         writer.close()
@@ -232,7 +236,8 @@ def main(argv=None):
         print(f"Video saved with path {args.out_video_name} ({n_out} frames)")
     else:
         frames, fps = read_video(args.target_video)
-        out = pipe.swap_video_frames(frames, sources, targets)
+        out = pipe.swap_video_frames(frames, sources, targets,
+                                     smooth=args.smooth)
         write_video(args.out_video_name, out, fps)
         if add_audio_from_video(args.target_video, args.out_video_name):
             print("audio remuxed")

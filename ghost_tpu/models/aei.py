@@ -135,10 +135,19 @@ class AADLayer(nn.Module):
     """Adaptive Attentional Denormalization (reference AADLayer.py:5-38).
 
     Fusions vs reference: one conv emits [gamma_attr|beta_attr]
-    (2*c_x channels) and one matmul emits [gamma_id|beta_id]."""
+    (2*c_x channels) and one matmul emits [gamma_id|beta_id].
+
+    attr_upsample=2 accepts z_attr at HALF the spatial resolution of h
+    and bilinearly upsamples the conv OUTPUT instead of the input: the
+    1x1 conv is per-pixel affine and align_corners bilinear weights sum
+    to 1 at every output pixel, so conv(up(z)) == up(conv(z)) exactly —
+    this runs the conv on 1/4 the pixels (the finest attr map of the
+    unet/linknet encoders is itself a pure 2x bilinear upsample,
+    reference AEI_Net.py:94)."""
 
     c_x: int
     policy: Policy = DEFAULT_POLICY
+    attr_upsample: int = 1
 
     @nn.compact
     def __call__(self, h_in, z_attr, z_id):
@@ -148,6 +157,9 @@ class AADLayer(nn.Module):
 
         ab_attr = Conv(2 * self.c_x, kernel_size=1, dtype=cd,
                        param_dtype=self.policy.param_dtype, name="attr_gb")(z_attr)
+        if self.attr_upsample > 1:
+            ab_attr = resize_like_torch(ab_attr, float(self.attr_upsample),
+                                        method="bilinear", align_corners=True)
         gamma_attr, beta_attr = jnp.split(ab_attr, 2, axis=-1)
 
         ab_id = Dense(2 * self.c_x, dtype=cd,
@@ -171,6 +183,7 @@ class AADResBlock(nn.Module):
     cout: int
     num_blocks: int = 2
     policy: Policy = DEFAULT_POLICY
+    attr_upsample: int = 1
 
     @nn.compact
     def __call__(self, h, z_attr, z_id):
@@ -178,12 +191,14 @@ class AADResBlock(nn.Module):
         x = h
         for i in range(self.num_blocks):
             out_ch = self.cin if i < self.num_blocks - 1 else self.cout
-            x = AADLayer(self.cin, self.policy, name=f"aad{i}")(x, z_attr, z_id)
+            x = AADLayer(self.cin, self.policy, self.attr_upsample,
+                         name=f"aad{i}")(x, z_attr, z_id)
             x = nn.relu(x)
             x = Conv(out_ch, kernel_size=3, padding=1, use_bias=False, dtype=cd,
                      param_dtype=self.policy.param_dtype, name=f"conv{i}")(x)
         if self.cin != self.cout:
-            s = AADLayer(self.cin, self.policy, name="aad_short")(h, z_attr, z_id)
+            s = AADLayer(self.cin, self.policy, self.attr_upsample,
+                         name="aad_short")(h, z_attr, z_id)
             s = nn.relu(s)
             s = Conv(self.cout, kernel_size=3, padding=1, use_bias=False, dtype=cd,
                      param_dtype=self.policy.param_dtype, name="conv_short")(s)
@@ -210,11 +225,23 @@ class AADGenerator(nn.Module):
                           param_dtype=self.policy.param_dtype, name="up1")(
             z_id[:, None, None, :]
         )
+        # blk8's attr map (unet/linknet) is a pure 2x bilinear upsample
+        # of z_attr7 (reference AEI_Net.py:94), and blk8 only consumes it
+        # through 1x1 convs — feed the 128-res map and upsample the conv
+        # outputs instead (exact commute, 1/4 the conv pixels; measured
+        # ~9 ms/chunk-64 on v5e). The resnet encoder's finest map is a
+        # real conv output, so it keeps the direct path.
+        commute8 = self.backbone in ("unet", "linknet")
         for k in range(8):
             cin = _scaled(_AAD_CIN[k], self.width)
             cout = _AAD_COUT[k] if k == 7 else _scaled(_AAD_COUT[k], self.width)
-            y = AADResBlock(cin, cout, self.num_blocks, self.policy,
-                            name=f"blk{k + 1}")(m, z_attrs[k].astype(cd), z_id)
+            za = z_attrs[k]
+            ups = 1
+            if k == 7 and commute8:
+                za = z_attrs[6]
+                ups = 2
+            y = AADResBlock(cin, cout, self.num_blocks, self.policy, ups,
+                            name=f"blk{k + 1}")(m, za.astype(cd), z_id)
             if k < 7:
                 m = resize_like_torch(y, 2.0, method="bilinear", align_corners=True)
         return jnp.tanh(y).astype(self.policy.output_dtype)

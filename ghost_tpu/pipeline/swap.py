@@ -103,6 +103,10 @@ class SwapConfig:
     # hold more real faces than targets; K >= actual face count is
     # lossless, so K = targets+1 is a safe speed knob for the bench
     match_faces: int | None = None
+    # frames per micro-batch group of the FUSED detect->swap program
+    # (covers the detector too, so chunk 128 stays within the chunk-32
+    # stage-A HBM peak); 0 disables grouping
+    fused_group: int = 32
 
 
 class SwapPipeline:
@@ -139,18 +143,30 @@ class SwapPipeline:
             "sr": sr[1] if sr is not None else {},
         }
         self._detect_match_j = jax.jit(self._detect_match_impl)
-        self._swap_blend_j = jax.jit(self._swap_blend_impl)
+        self._swap_blend_j = jax.jit(self._swap_blend_impl,
+                                     static_argnums=(6,))
         self._embed_j = jax.jit(self._embed_impl)
         self._swap_fused_j = jax.jit(self._swap_fused_impl,
                                      static_argnums=4)
+        self._detect_swap_j = jax.jit(self._detect_swap_impl,
+                                      static_argnums=(5,))
 
     def _detect_match(self, frames_u8, target_embeds):
         return self._detect_match_j(self._vars, frames_u8, target_embeds)
 
     def _swap_blend(self, frames_u8, kps, present, source_embeds,
-                    mask_params=None):
+                    mask_params=None, probe=False):
         return self._swap_blend_j(self._vars, frames_u8, kps, present,
-                                  source_embeds, mask_params)
+                                  source_embeds, mask_params, probe)
+
+    def _detect_swap(self, frames_u8, target_embeds, source_embeds,
+                     mask_params=None, match_targets=True):
+        """Fused single-program detect->match->swap->blend for one chunk
+        (the steady-state no-smoothing video path: one dispatch instead
+        of two, ~26 ms/chunk of relay dispatch floor saved)."""
+        return self._detect_swap_j(self._vars, frames_u8, target_embeds,
+                                   source_embeds, mask_params,
+                                   match_targets)
 
     def _embed(self, crops_rgb_u8):
         return self._embed_j(self._vars, crops_rgb_u8)
@@ -249,15 +265,20 @@ class SwapPipeline:
 
     # ----------------------------------------------------- stage B: swap
     def _swap_blend_impl(self, variables, frames_u8, kps, present,
-                         source_embeds, mask_params=None):
+                         source_embeds, mask_params=None, probe=False,
+                         groups=None):
         """frames (B,H,W,3) RGB uint8; kps (B,T,5,2); present (B,T) bool;
         source_embeds (T,512). Returns blended uint8 frames.
 
         mask_params: None -> compile-time cfg.mask_params (single
         landmark pass); (T,4) traced array -> per-target dynamic mask
-        params + a second landmark pass over the ORIGINAL target crops,
-        additionally returning the (B,T) per-face mask-offset statistic
-        (reference masks.py:44-47) for host-side parameter selection."""
+        params. With probe=True a SECOND landmark pass runs over the
+        ORIGINAL target crops and the (B,T) mask-offset statistic
+        (reference masks.py:44-47) is returned alongside for host-side
+        parameter selection. Steady state (probe=False) skips that pass:
+        the reference only landmarks the target crop while params are
+        unset (video_processing.py:218-223); with cached params
+        face_mask_static never reads landmarks_tgt (masks.py:65-67)."""
         cfg = self.cfg
         b, t = kps.shape[:2]
         cs = cfg.crop_size
@@ -269,14 +290,14 @@ class SwapPipeline:
         # mask -> blend) over gen_groups via lax.map: divides the
         # transient activation peak (chunk 64 otherwise grazes the HBM
         # roof) at negligible wall cost
-        g = cfg.gen_groups
+        g = cfg.gen_groups if groups is None else groups
         if g <= 1 or b % g != 0 or b < g:
             g = 1
 
         def body(args):
             return self._swap_body(variables, *args,
                                    source_embeds=source_embeds,
-                                   mask_params=mask_params)
+                                   mask_params=mask_params, probe=probe)
 
         if g == 1:
             res = body((frames_u8, m_all, present))
@@ -294,7 +315,7 @@ class SwapPipeline:
         return res
 
     def _swap_body(self, variables, frames_u8, m, present, source_embeds,
-                   mask_params):
+                   mask_params, probe=False):
         """Per-frame stage-B body over one micro-batch: frames
         (B,H,W,3) u8, m (B,T,2,3), present (B,T)."""
         cfg = self.cfg
@@ -329,6 +350,7 @@ class SwapPipeline:
 
         lmk_apply = lambda v, imgs: self.lmk_mod.apply(v, imgs)
         offsets = None
+        need_offsets = probe or isinstance(mask_params, str)
         if mask_params is None:
             lmks = landmarks_from_crops(lmk_apply, variables["lmk"],
                                         swap224, cs)
@@ -337,17 +359,25 @@ class SwapPipeline:
             from ghost_tpu.ops.mask import (mask_offset_from_landmarks,
                                             soft_face_mask_dynamic)
 
-            # one landmark pass over [swap | original target crop]
-            # (reference video_processing.py:204-228 runs the handler
-            # on both)
-            both = jnp.concatenate(
-                [swap224, crops.astype(swap224.dtype)], axis=0)
-            lm_both = landmarks_from_crops(lmk_apply, variables["lmk"],
-                                           both, cs)
-            n = b * t
-            lmks, lmks_tgt = lm_both[:n], lm_both[n:]
-            offsets = jax.vmap(mask_offset_from_landmarks)(
-                lmks, lmks_tgt).reshape(b, t)
+            if need_offsets:
+                # one landmark pass over [swap | original target crop]:
+                # the offset statistic needs BOTH (reference
+                # video_processing.py:218-223 runs the handler on the
+                # target crop only while params are unset)
+                both = jnp.concatenate(
+                    [swap224, crops.astype(swap224.dtype)], axis=0)
+                lm_both = landmarks_from_crops(lmk_apply, variables["lmk"],
+                                               both, cs)
+                n = b * t
+                lmks, lmks_tgt = lm_both[:n], lm_both[n:]
+                offsets = jax.vmap(mask_offset_from_landmarks)(
+                    lmks, lmks_tgt).reshape(b, t)
+            else:
+                # steady state: params are cached, face_mask_static
+                # ignores landmarks_tgt (masks.py:65-67) — landmark the
+                # swap only (halves the landmark work per chunk)
+                lmks = landmarks_from_crops(lmk_apply, variables["lmk"],
+                                            swap224, cs)
             if isinstance(mask_params, str):  # "auto": per-face params
                 # on-device mask_params_from_offset (masks.py:49-76
                 # thresholds) — the reference's IMAGE path selects
@@ -417,6 +447,40 @@ class SwapPipeline:
         out = self._swap_blend_impl(variables, frames_u8, kps, present,
                                     source_embeds, mp)
         return out[0] if isinstance(out, tuple) else out
+
+    def _detect_swap_impl(self, variables, frames_u8, target_embeds,
+                          source_embeds, mask_params,
+                          match_targets: bool):
+        """Fused steady-state video chunk: detect -> match -> swap ->
+        blend in ONE program. Semantics identical to stage A + stage B
+        with smooth=False and cached per-shot mask params; the whole
+        body (detector included) micro-batches over cfg.fused_group
+        frames via lax.map so chunk 128 peaks like a chunk-32 stage A."""
+        cfg = self.cfg
+        b = frames_u8.shape[0]
+        t = target_embeds.shape[0]
+        gs = cfg.fused_group
+        g = b // gs if (gs > 0 and b % gs == 0 and b > gs) else 1
+
+        def body(fr):
+            kps, sim, scores, raw_kps = self._detect_match_impl(
+                variables, fr, target_embeds)
+            if match_targets:
+                present = sim > cfg.similarity_th
+            else:
+                kps = raw_kps[:, :t]
+                present = scores[:, :t] > 0.0
+            return self._swap_blend_impl(variables, fr, kps, present,
+                                         source_embeds, mask_params,
+                                         groups=1)
+
+        if g == 1:
+            return body(frames_u8)
+        res = jax.lax.map(body, frames_u8.reshape(g, gs,
+                                                  *frames_u8.shape[1:]))
+        return jax.tree.map(
+            lambda x: x.reshape((x.shape[0] * x.shape[1],) + x.shape[2:]),
+            res)
 
     def swap_image_fused(self, frame_rgb_u8: np.ndarray,
                          source_crops_rgb: np.ndarray,
@@ -509,7 +573,8 @@ class SwapPipeline:
                 jnp.asarray(cfg.mask_params, jnp.float32)[None], (t, 1))
             _probe, offs0 = self._swap_blend(
                 jnp.asarray(frames_pad[:bsz]), jnp.asarray(kps_pad[:bsz]),
-                jnp.asarray(present_pad[:bsz]), src_emb, default)
+                jnp.asarray(present_pad[:bsz]), src_emb, default,
+                probe=True)
             offs0 = np.asarray(offs0)
             chosen = []
             for j in range(t):
@@ -526,8 +591,6 @@ class SwapPipeline:
                 src_emb,
                 mask_params_t,
             )
-            if mask_params_t is not None:
-                res = res[0]
             out[i : i + bsz] = np.asarray(res)
         return out[:n]
 
@@ -609,7 +672,7 @@ class SwapPipeline:
                     jnp.asarray(cfg.mask_params, jnp.float32)[None], (t, 1))
                 _probe, offs0 = self._swap_blend(
                     jnp.asarray(frames_np), jnp.asarray(k),
-                    jnp.asarray(p), src_emb, default)
+                    jnp.asarray(p), src_emb, default, probe=True)
                 offs0 = np.asarray(offs0)
                 chosen = []
                 for j in range(t):
@@ -620,9 +683,31 @@ class SwapPipeline:
                 probe_done = True
             res = self._swap_blend(jnp.asarray(frames_np), jnp.asarray(k),
                                    jnp.asarray(p), src_emb, mask_params_t)
-            if mask_params_t is not None:
-                res = res[0]
             return np.asarray(res)[:n]
+
+        if not smooth:
+            # no smoothing separates the stages: steady state is the
+            # FUSED detect->swap program, one dispatch per chunk. The
+            # first chunk still runs split (its probe derives the
+            # per-shot mask params, then the chunk is reprocessed with
+            # the selection — the reference's params-from-first-frame
+            # caching, video_processing.py:204,218-223)
+            for frames_np in chunks:
+                frames_np = np.asarray(frames_np)
+                if not probe_done:
+                    fpad, fn, kps_np, sim_np, present = run_a(frames_np)
+                    yield run_b(fpad, fn, kps_np, present, None, None)
+                    continue
+                n = frames_np.shape[0]
+                pad = bsz - n
+                fpad = np.concatenate(
+                    [frames_np, np.repeat(frames_np[-1:], pad, 0)], 0
+                ) if pad else frames_np
+                res = self._detect_swap(jnp.asarray(fpad), tgt_emb,
+                                        src_emb, mask_params_t,
+                                        match_targets)
+                yield np.asarray(res)[:n]
+            return
 
         for frames_np in chunks:
             frames_np = np.asarray(frames_np)

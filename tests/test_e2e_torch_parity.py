@@ -58,7 +58,8 @@ def test_full_swap_composition_matches_reference_math():
                           policy=FULL_PRECISION)
     pipe.gen_vars = g_vars
     pipe._vars["gen"] = g_vars
-    pipe._swap_blend_j = jax.jit(pipe._swap_blend_impl)
+    pipe._swap_blend_j = jax.jit(pipe._swap_blend_impl,
+                                 static_argnums=(6,))
 
     # smooth synthetic frame + plausible face keypoints
     rng = np.random.default_rng(0)

@@ -79,9 +79,11 @@ def test_pipeline_per_shot_params_no_retrace():
 
     p1 = jnp.asarray([[5.0, 5.0, 5.0, 2.0]], jnp.float32)
     p2 = jnp.asarray([[15.0, 15.0, 10.0, 2.7]], jnp.float32)
-    out1, off1 = pipe._swap_blend(frames, kps, present, src, p1)
+    out1, off1 = pipe._swap_blend(frames, kps, present, src, p1,
+                                  probe=True)
     n_traces = pipe._swap_blend_j._cache_size()
-    out2, off2 = pipe._swap_blend(frames, kps, present, src, p2)
+    out2, off2 = pipe._swap_blend(frames, kps, present, src, p2,
+                                  probe=True)
     assert pipe._swap_blend_j._cache_size() == n_traces  # no retrace
     assert out1.shape == frames.shape and out1.dtype == jnp.uint8
     assert off1.shape == (2, 1)
