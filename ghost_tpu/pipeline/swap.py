@@ -561,26 +561,36 @@ class SwapPipeline:
 
         mask_params_t = None
         if cfg.mask_per_shot:
-            # probe pass on chunk 0 with default params: collect the
-            # per-face offset statistic, select per-target params once,
-            # then reprocess from chunk 0 with the selection — exactly
-            # the reference's params-from-first-frame caching
-            # (video_processing.py:204,220-223). Targets absent from
-            # chunk 0 keep the defaults.
+            # probe passes with default params: for each target, collect
+            # the per-face offset statistic from the chunk holding its
+            # FIRST present frame, select its params once, then process
+            # every chunk with the selection — the reference's
+            # params-from-first-frame caching derives params at each
+            # face's first appearance (video_processing.py:204,218-223).
+            # Typically all targets appear in chunk 0 => one probe.
             from ghost_tpu.ops.mask import mask_params_from_offset
 
-            default = jnp.tile(
-                jnp.asarray(cfg.mask_params, jnp.float32)[None], (t, 1))
-            _probe, offs0 = self._swap_blend(
-                jnp.asarray(frames_pad[:bsz]), jnp.asarray(kps_pad[:bsz]),
-                jnp.asarray(present_pad[:bsz]), src_emb, default,
-                probe=True)
-            offs0 = np.asarray(offs0)
-            chosen = []
-            for j in range(t):
-                idx = np.nonzero(present_pad[:bsz, j])[0]
-                off = float(offs0[idx[0], j]) if len(idx) else 0.0
-                chosen.append(mask_params_from_offset(off))
+            chosen = [tuple(cfg.mask_params)] * t
+            need = set(range(t))
+            for i in range(0, n + pad, bsz):
+                js = [j for j in need
+                      if present_pad[i:i + bsz, j].any()]
+                if not js:
+                    continue
+                default = jnp.asarray(chosen, jnp.float32)
+                _probe, offs = self._swap_blend(
+                    jnp.asarray(frames_pad[i:i + bsz]),
+                    jnp.asarray(kps_pad[i:i + bsz]),
+                    jnp.asarray(present_pad[i:i + bsz]), src_emb, default,
+                    probe=True)
+                offs = np.asarray(offs)
+                for j in js:
+                    idx = np.nonzero(present_pad[i:i + bsz, j])[0]
+                    chosen[j] = mask_params_from_offset(
+                        float(offs[idx[0], j]))
+                    need.discard(j)
+                if not need:
+                    break
             mask_params_t = jnp.asarray(chosen, jnp.float32)
 
         for i in range(0, n + pad, bsz):
@@ -641,14 +651,21 @@ class SwapPipeline:
                 present[n:] = False
             return frames_np, n, kps_np, sim_np, present
 
-        mask_params_t = None
-        probe_done = not cfg.mask_per_shot
+        # per-shot mask params, derived at each target's FIRST present
+        # frame (the reference caches params from the first frame where
+        # the face appears, video_processing.py:204,218-223). `need`
+        # holds targets not yet probed; typically all appear in chunk 0
+        # so exactly one probe dispatch happens.
+        chosen = [tuple(cfg.mask_params)] * t
+        need = set(range(t)) if cfg.mask_per_shot else set()
+        mask_params_t = (jnp.asarray(chosen, jnp.float32)
+                         if cfg.mask_per_shot else None)
         prev = None  # (frames, n, kps, present) awaiting stage B
         tail_kps = None  # raw kps/present of the previous chunk's tail
         tail_present = None
 
         def run_b(frames_np, n, kps_np, present, head_kps, head_present):
-            nonlocal mask_params_t, probe_done
+            nonlocal mask_params_t
             k = kps_np
             p = present
             if smooth:
@@ -665,36 +682,35 @@ class SwapPipeline:
                                    np.concatenate(ctx_p, 0), n=2)
                 k = kps_np.copy()
                 k[:n] = sm[lo:lo + n]
-            if not probe_done:
+            js = [j for j in need if p[:n, j].any()]
+            if js:
                 from ghost_tpu.ops.mask import mask_params_from_offset
 
-                default = jnp.tile(
-                    jnp.asarray(cfg.mask_params, jnp.float32)[None], (t, 1))
-                _probe, offs0 = self._swap_blend(
+                _probe, offs = self._swap_blend(
                     jnp.asarray(frames_np), jnp.asarray(k),
-                    jnp.asarray(p), src_emb, default, probe=True)
-                offs0 = np.asarray(offs0)
-                chosen = []
-                for j in range(t):
+                    jnp.asarray(p), src_emb, mask_params_t, probe=True)
+                offs = np.asarray(offs)
+                for j in js:
                     idx = np.nonzero(p[:n, j])[0]
-                    off = float(offs0[idx[0], j]) if len(idx) else 0.0
-                    chosen.append(mask_params_from_offset(off))
+                    chosen[j] = mask_params_from_offset(
+                        float(offs[idx[0], j]))
+                    need.discard(j)
                 mask_params_t = jnp.asarray(chosen, jnp.float32)
-                probe_done = True
             res = self._swap_blend(jnp.asarray(frames_np), jnp.asarray(k),
                                    jnp.asarray(p), src_emb, mask_params_t)
             return np.asarray(res)[:n]
 
         if not smooth:
             # no smoothing separates the stages: steady state is the
-            # FUSED detect->swap program, one dispatch per chunk. The
-            # first chunk still runs split (its probe derives the
-            # per-shot mask params, then the chunk is reprocessed with
-            # the selection — the reference's params-from-first-frame
+            # FUSED detect->swap program, one dispatch per chunk. While
+            # any target is still unprobed the chunk runs split (stage A
+            # exposes per-target presence so the probe can fire at the
+            # first appearance, then the chunk is reprocessed with the
+            # selection — the reference's params-from-first-frame
             # caching, video_processing.py:204,218-223)
             for frames_np in chunks:
                 frames_np = np.asarray(frames_np)
-                if not probe_done:
+                if need:
                     fpad, fn, kps_np, sim_np, present = run_a(frames_np)
                     yield run_b(fpad, fn, kps_np, present, None, None)
                     continue

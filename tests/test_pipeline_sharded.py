@@ -49,14 +49,22 @@ def test_sharded_pipeline_matches_single_device():
     got_out = pipe._swap_blend(frames_sh, kps_sh, present_sh, src)
 
     assert len(got_out.sharding.device_set) == 8  # stayed distributed
-    # materializing a multi-device array directly aborts on this CPU
-    # backend; replicate on-device first
-    rep = jax.jit(lambda x: x,
-                  out_shardings=NamedSharding(mesh, P()))
-    np.testing.assert_allclose(np.asarray(rep(got_kps)),
-                               np.asarray(ref_kps), atol=1e-4)
-    np.testing.assert_array_equal(np.asarray(rep(got_out)),
-                                  np.asarray(ref_out))
+    # materializing a multi-device ARRAY aborts on this CPU backend
+    # (even fully replicated); only scalars cross to host reliably —
+    # reduce the comparison on-device (same pattern as the sharded
+    # train-step test)
+    rep = NamedSharding(mesh, P())
+    ref_kps_d = jax.device_put(np.asarray(ref_kps), rep)
+    ref_out_d = jax.device_put(np.asarray(ref_out), rep)
+    dk, do = jax.jit(
+        lambda a, b, c, d: (
+            jnp.max(jnp.abs(a - b)),
+            jnp.max(jnp.abs(c.astype(jnp.int32) - d.astype(jnp.int32))),
+        ),
+        out_shardings=rep,
+    )(got_kps, ref_kps_d, got_out, ref_out_d)
+    assert float(dk) < 1e-4
+    assert float(do) == 0
 
 
 if __name__ == "__main__":
