@@ -91,7 +91,8 @@ def load_pipeline(args):
     )
 
     gen = AEINet(backbone=args.backbone, num_blocks=args.num_blocks,
-                 policy=policy, width=args.width)
+                 policy=policy, width=args.width,
+                 fused_aad=jax.default_backend() == "tpu")
     if os.path.exists(args.G_path):
         gen_vars = jax.tree.map(
             jnp.asarray,

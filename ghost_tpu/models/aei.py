@@ -131,6 +131,32 @@ class MLAttrEncoder(nn.Module):
         return tuple(attrs)
 
 
+class _Conv1x1Params(nn.Module):
+    """Parameters of a 1x1 Conv (same tree/init as `nn.layers.Conv`)
+    WITHOUT applying it — lets the fused AAD path own the compute while
+    converters/checkpoints keep addressing mask/Conv_0/{kernel,bias}."""
+
+    cin: int
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.xavier_normal(),
+                       (1, 1, self.cin, 1), self.param_dtype)
+        b = self.param("bias", nn.initializers.zeros, (1,),
+                       self.param_dtype)
+        return k, b
+
+
+class _MaskParams(nn.Module):
+    cin: int
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        return _Conv1x1Params(self.cin, self.param_dtype, name="Conv_0")()
+
+
 class AADLayer(nn.Module):
     """Adaptive Attentional Denormalization (reference AADLayer.py:5-38).
 
@@ -143,17 +169,23 @@ class AADLayer(nn.Module):
     to 1 at every output pixel, so conv(up(z)) == up(conv(z)) exactly —
     this runs the conv on 1/4 the pixels (the finest attr map of the
     unet/linknet encoders is itself a pure 2x bilinear upsample,
-    reference AEI_Net.py:94)."""
+    reference AEI_Net.py:94).
+
+    fused=True routes the IN-apply + mask conv + blend through the
+    Pallas `ops.pallas.aad.aad_modulate` kernel (one VMEM pass instead
+    of ~3 XLA round trips; measured 1.5x on v5e for c_x>=128 —
+    half-empty lanes make it SLOWER at c_x=64, so callers gate on
+    channel count). Inference-only (no VJP); training keeps the jnp
+    path. Param tree is identical either way."""
 
     c_x: int
     policy: Policy = DEFAULT_POLICY
     attr_upsample: int = 1
+    fused: bool = False
 
     @nn.compact
     def __call__(self, h_in, z_attr, z_id):
         cd = self.policy.compute_dtype
-        # stats in f32, tensors stay in compute dtype (bandwidth-bound)
-        h = instance_norm(h_in.astype(cd))
 
         ab_attr = Conv(2 * self.c_x, kernel_size=1, dtype=cd,
                        param_dtype=self.policy.param_dtype, name="attr_gb")(z_attr)
@@ -164,6 +196,17 @@ class AADLayer(nn.Module):
 
         ab_id = Dense(2 * self.c_x, dtype=cd,
                       param_dtype=self.policy.param_dtype, name="id_gb")(z_id)
+
+        if self.fused:
+            from ghost_tpu.ops.pallas.aad import aad_modulate
+
+            mask_k, mask_b = _MaskParams(
+                self.c_x, self.policy.param_dtype, name="mask")()
+            return aad_modulate(h_in.astype(cd), gamma_attr, beta_attr,
+                                ab_id, mask_k, mask_b)
+
+        # stats in f32, tensors stay in compute dtype (bandwidth-bound)
+        h = instance_norm(h_in.astype(cd))
         gamma_id, beta_id = jnp.split(ab_id, 2, axis=-1)
         gamma_id = gamma_id[:, None, None, :]
         beta_id = beta_id[:, None, None, :]
@@ -184,6 +227,7 @@ class AADResBlock(nn.Module):
     num_blocks: int = 2
     policy: Policy = DEFAULT_POLICY
     attr_upsample: int = 1
+    fused: bool = False
 
     @nn.compact
     def __call__(self, h, z_attr, z_id):
@@ -192,13 +236,13 @@ class AADResBlock(nn.Module):
         for i in range(self.num_blocks):
             out_ch = self.cin if i < self.num_blocks - 1 else self.cout
             x = AADLayer(self.cin, self.policy, self.attr_upsample,
-                         name=f"aad{i}")(x, z_attr, z_id)
+                         self.fused, name=f"aad{i}")(x, z_attr, z_id)
             x = nn.relu(x)
             x = Conv(out_ch, kernel_size=3, padding=1, use_bias=False, dtype=cd,
                      param_dtype=self.policy.param_dtype, name=f"conv{i}")(x)
         if self.cin != self.cout:
             s = AADLayer(self.cin, self.policy, self.attr_upsample,
-                         name="aad_short")(h, z_attr, z_id)
+                         self.fused, name="aad_short")(h, z_attr, z_id)
             s = nn.relu(s)
             s = Conv(self.cout, kernel_size=3, padding=1, use_bias=False, dtype=cd,
                      param_dtype=self.policy.param_dtype, name="conv_short")(s)
@@ -215,6 +259,7 @@ class AADGenerator(nn.Module):
     num_blocks: int = 2
     policy: Policy = DEFAULT_POLICY
     width: float = 1.0
+    fused_aad: bool = False  # Pallas AAD-modulate on the C>=128 blocks
 
     @nn.compact
     def __call__(self, z_attrs: Sequence[Any], z_id):
@@ -240,8 +285,13 @@ class AADGenerator(nn.Module):
             if k == 7 and commute8:
                 za = z_attrs[6]
                 ups = 2
+            # Pallas fused modulate wins only with full 128-lane channel
+            # tiles and non-trivial spatial extent (k>=4: 32^2 and up);
+            # at 64 channels (blk8) the half-empty lanes make it slower
+            # than the XLA chain (scripts/profile_kernels_ab.py)
+            fused = self.fused_aad and cin >= 128 and k >= 4
             y = AADResBlock(cin, cout, self.num_blocks, self.policy, ups,
-                            name=f"blk{k + 1}")(m, za.astype(cd), z_id)
+                            fused, name=f"blk{k + 1}")(m, za.astype(cd), z_id)
             if k < 7:
                 m = resize_like_torch(y, 2.0, method="bilinear", align_corners=True)
         return jnp.tanh(y).astype(self.policy.output_dtype)
@@ -257,6 +307,7 @@ class AEINet(nn.Module):
     policy: Policy = DEFAULT_POLICY
     train: bool = False
     width: float = 1.0  # 1.0 == reference channel plan; <1 for tests/serving
+    fused_aad: bool = False  # inference-only Pallas AAD kernel (no VJP)
 
     def setup(self):
         if self.backbone in ("unet", "linknet"):
@@ -269,7 +320,7 @@ class AEINet(nn.Module):
         else:
             raise ValueError(f"unknown backbone {self.backbone!r}")
         self.generator = AADGenerator(self.backbone, self.c_id, self.num_blocks,
-                                      self.policy, self.width)
+                                      self.policy, self.width, self.fused_aad)
 
     def __call__(self, xt, z_id):
         attrs = self.encoder(xt)

@@ -36,6 +36,39 @@ from jax import lax
 # Convolutions
 # ---------------------------------------------------------------------------
 
+# module-level toggle (checked at trace time) for the 1x1-conv einsum
+# lowering — lets A/B profiling scripts flip lowerings between jits
+CONV1X1_EINSUM = True
+
+
+class _Conv1x1Einsum(nn.Module):
+    """1x1 conv lowered as a channel einsum (plain MXU matmul).
+
+    XLA's conv lowering for 1x1 kernels at small channel counts pays
+    layout/im2col overhead a dot does not (measured ~3x net on v5e for
+    64->128 @256^2, scripts/profile_conv.py). Param tree is identical
+    to nn.Conv — (1,1,cin,cout) "kernel" + (cout,) "bias" — so weight
+    converters and checkpoints are unaffected."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.xavier_normal(),
+            (1, 1, cin, self.features), self.param_dtype)
+        y = jnp.einsum("bhwc,cd->bhwd", x.astype(self.dtype),
+                       kernel[0, 0].astype(self.dtype))
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), self.param_dtype)
+            y = y + bias.astype(self.dtype)
+        return y
+
 
 class Conv(nn.Module):
     """NHWC conv with torch Conv2d semantics (explicit symmetric padding).
@@ -62,6 +95,11 @@ class Conv(nn.Module):
         )
         st = (self.stride, self.stride) if isinstance(self.stride, int) else tuple(self.stride)
         pd = (self.padding, self.padding) if isinstance(self.padding, int) else tuple(self.padding)
+        if (CONV1X1_EINSUM and ks == (1, 1) and st == (1, 1) and pd == (0, 0)
+                and self.feature_group_count == 1 and x.ndim == 4):
+            return _Conv1x1Einsum(
+                self.features, self.use_bias, self.dtype, self.param_dtype,
+                name="Conv_0")(x)
         return nn.Conv(
             features=self.features,
             kernel_size=ks,

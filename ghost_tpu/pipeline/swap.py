@@ -787,7 +787,10 @@ def build_random_pipeline(config: SwapConfig = SwapConfig(),
     det_vars = det.init(key, jnp.zeros((1, config.det_size, config.det_size, 3)))
     arc = IResNet(layers=arcface_layers, policy=policy)
     arc_vars = arc.init(key, jnp.zeros((1, 112, 112, 3)))
-    gen = AEINet(backbone=backbone, num_blocks=2, policy=policy)
+    # Pallas fused AAD modulate on the C>=128 generator blocks (TPU
+    # only — the kernel is serving-path; CPU tests keep the jnp chain)
+    gen = AEINet(backbone=backbone, num_blocks=2, policy=policy,
+                 fused_aad=jax.default_backend() == "tpu")
     gen_vars = gen.init(key, jnp.zeros((1, config.gen_size, config.gen_size, 3)),
                         jnp.zeros((1, 512)))
     lmk = Landmark106(policy=policy)

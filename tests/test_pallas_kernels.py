@@ -105,3 +105,60 @@ def test_flash_attention_grad_causal(rng):
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# Fused AAD modulate (ops/pallas/aad.py)
+# ---------------------------------------------------------------------------
+
+
+def test_aad_modulate_matches_reference(rng):
+    from ghost_tpu.ops.pallas.aad import aad_modulate, aad_modulate_reference
+
+    B, H, W, C = 2, 8, 16, 8
+    h = jnp.asarray(rng.standard_normal((B, H, W, C), dtype=np.float32))
+    ga = jnp.asarray(rng.standard_normal((B, H, W, C), dtype=np.float32))
+    bb = jnp.asarray(rng.standard_normal((B, H, W, C), dtype=np.float32))
+    idgb = jnp.asarray(rng.standard_normal((B, 2 * C), dtype=np.float32))
+    mk = jnp.asarray(rng.standard_normal((1, 1, C, 1), dtype=np.float32))
+    mb = jnp.asarray(rng.standard_normal((1,), dtype=np.float32))
+
+    ref = aad_modulate_reference(h, ga, bb, idgb, mk, mb)
+    out = aad_modulate(h, ga, bb, idgb, mk, mb, block_rows=32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    # bf16 path (the production dtype) stays within rounding noise
+    cd = jnp.bfloat16
+    ref16 = aad_modulate_reference(h.astype(cd), ga.astype(cd),
+                                   bb.astype(cd), idgb, mk, mb)
+    out16 = aad_modulate(h.astype(cd), ga.astype(cd), bb.astype(cd),
+                         idgb, mk, mb, block_rows=32)
+    np.testing.assert_allclose(np.asarray(out16, np.float32),
+                               np.asarray(ref16, np.float32),
+                               rtol=0.1, atol=0.1)
+
+
+def test_aad_layer_fused_equals_unfused(rng):
+    """AADLayer(fused=True) == AADLayer(fused=False) on the SAME params
+    (identical param tree by construction — converters untouched)."""
+    from ghost_tpu.core.precision import FULL_PRECISION
+    from ghost_tpu.models.aei import AADLayer
+
+    B, H, W, C = 2, 8, 8, 8
+    h = jnp.asarray(rng.standard_normal((B, H, W, C), dtype=np.float32))
+    za = jnp.asarray(rng.standard_normal((B, H, W, C), dtype=np.float32))
+    z = jnp.asarray(rng.standard_normal((B, 512), dtype=np.float32))
+
+    plain = AADLayer(C, FULL_PRECISION)
+    fused = AADLayer(C, FULL_PRECISION, fused=True)
+    v1 = plain.init(jax.random.key(0), h, za, z)
+    v2 = fused.init(jax.random.key(0), h, za, z)
+    assert jax.tree.structure(v1) == jax.tree.structure(v2)
+    for a, b in zip(jax.tree.leaves(v1), jax.tree.leaves(v2)):
+        assert a.shape == b.shape
+
+    out_plain = plain.apply(v1, h, za, z)
+    out_fused = fused.apply(v1, h, za, z)
+    np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_plain),
+                               rtol=1e-5, atol=1e-5)
