@@ -75,7 +75,7 @@ def _kernel(h_ref, ga_ref, bb_ref, st_ref, id_ref, mw_ref, mb_ref, o_ref):
 
 
 def aad_modulate(h, gamma_attr, beta_attr, id_gb, mask_kernel, mask_bias,
-                 eps: float = 1e-5, block_rows: int = 512,
+                 eps: float = 1e-5, block_rows: int = 1024,
                  interpret: bool | None = None):
     """Fused AAD modulation.
 
