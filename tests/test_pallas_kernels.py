@@ -162,3 +162,36 @@ def test_aad_layer_fused_equals_unfused(rng):
     out_fused = fused.apply(v1, h, za, z)
     np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_plain),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_aad_generator_fused_gating_equals_unfused(rng):
+    """AADGenerator(fused_aad=True) routes only the C>=128, k>=4 blocks
+    through the Pallas kernel (interpret mode here) and must reproduce
+    the jnp generator on the same params."""
+    from ghost_tpu.core.precision import FULL_PRECISION
+    from ghost_tpu.models.aei import AADGenerator, _scaled, _AAD_CATTR_UNET
+
+    width = 0.25  # blk5 cin=128 stays fused-gated; finer blocks jnp
+    plain = AADGenerator("unet", 512, 1, FULL_PRECISION, width)
+    fused = AADGenerator("unet", 512, 1, FULL_PRECISION, width,
+                         fused_aad=True)
+
+    z = jnp.asarray(rng.standard_normal((1, 512), dtype=np.float32))
+    attrs = []
+    res = 2
+    for k in range(8):
+        ca = _scaled(_AAD_CATTR_UNET[k], width)
+        attrs.append(jnp.asarray(
+            rng.standard_normal((1, res, res, ca), dtype=np.float32)))
+        if k < 7:
+            res *= 2
+    attrs = tuple(attrs)
+
+    v = plain.init(jax.random.key(0), attrs, z)
+    v2 = fused.init(jax.random.key(0), attrs, z)
+    assert jax.tree.structure(v) == jax.tree.structure(v2)
+
+    out_plain = plain.apply(v, attrs, z)
+    out_fused = fused.apply(v, attrs, z)
+    np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_plain),
+                               rtol=1e-4, atol=1e-4)
