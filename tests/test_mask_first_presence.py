@@ -107,3 +107,21 @@ def test_never_present_target_keeps_defaults_no_probe():
     out = pipe.swap_video_frames(frames, src, src, smooth=False)
     assert out.shape == frames.shape
     assert calls["probe"] == 0
+
+
+def test_stream_smooth_probes_at_first_presence():
+    """Smooth streaming shares the same per-target probe logic inside
+    run_b: one probe at the chunk holding the first present frame."""
+    pipe = _pipe(chunk=2)
+    _fake_detect(pipe, [False, False, True, True, True, True])
+    calls = _count_probes(pipe)
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, (6, 128, 160, 3), dtype=np.uint8)
+    src = rng.integers(0, 255, (1, 224, 224, 3), dtype=np.uint8)
+
+    outs = list(pipe.swap_video_stream(
+        iter([frames[0:2], frames[2:4], frames[4:6]]), src, src,
+        smooth=True))
+    assert sum(o.shape[0] for o in outs) == 6
+    assert calls["probe"] == 1
+    assert calls["fused"] == 0  # smoothing keeps the two-stage path
