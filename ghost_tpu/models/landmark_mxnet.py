@@ -13,8 +13,14 @@ params appear the converter below is mechanical:
   conv_2..14: depthwise 3x3 (+BN+PReLU) then pointwise 1x1 (+BN+PReLU)
       filters 16/32, 32/64, 64/64, 64/128, 128/128, 128/256 x6, 256/512,
       512/512; strides 2 at conv_3, conv_5, conv_7, conv_13   96 -> 6
-  conv_15: 3x3 s2 pad0 f64 + BN + PReLU                       6 -> 2
+  conv_15: 3x3 s2 pad1 f64 + BN + PReLU                       6 -> 3
   Flatten -> FC 212  (decode: (p + 1) * 96, image_infer.py:147-151)
+
+Round-3 note: conv_15's pad=(1,1) (-> 3x3 spatial, FC in-dim 576) was
+initially mis-transcribed as pad 0; the conv plan now carries padding
+and the graph-interpreter round-trip test
+(tests/test_mxnet_roundtrip.py) executes the mounted symbol JSON
+directly, so topology errors of this kind can't survive.
 
 MXNet BatchNorm semantics: eps defaults to 1e-3 and fix_gamma=True
 freezes gamma at 1 (the stored gamma is ignored).
@@ -40,14 +46,14 @@ _PAIRS: Tuple[Tuple[int, int, int], ...] = (
 )
 
 
-def conv_plan() -> List[Tuple[str, Tuple[int, int], int, int, int]]:
-    """[(name, kernel, stride, filters, groups)] — the full Convolution
-    sequence of the symbol graph, for the structure test."""
-    plan = [("conv_1_conv2d", (3, 3), 2, 16, 1)]
+def conv_plan() -> List[Tuple[str, Tuple[int, int], int, int, int, int]]:
+    """[(name, kernel, stride, pad, filters, groups)] — the full
+    Convolution sequence of the symbol graph, for the structure test."""
+    plan = [("conv_1_conv2d", (3, 3), 2, 1, 16, 1)]
     for i, (dw, pw, s) in enumerate(_PAIRS, start=2):
-        plan.append((f"conv_{i}_dw_conv2d", (3, 3), s, dw, dw))
-        plan.append((f"conv_{i}_conv2d", (1, 1), 1, pw, 1))
-    plan.append(("conv_15_conv2d", (3, 3), 2, 64, 1))
+        plan.append((f"conv_{i}_dw_conv2d", (3, 3), s, 1, dw, dw))
+        plan.append((f"conv_{i}_conv2d", (1, 1), 1, 0, pw, 1))
+    plan.append(("conv_15_conv2d", (3, 3), 2, 1, 64, 1))
     return plan
 
 
@@ -62,6 +68,7 @@ def parse_symbol_plan(path: str):
                 n["name"],
                 tuple(int(x) for x in a["kernel"].strip("()").split(",")),
                 int(a["stride"].strip("()").split(",")[0]),
+                int(a.get("pad", "(0, 0)").strip("()").split(",")[0]),
                 int(a["num_filter"]),
                 int(a["num_group"]),
             ))
@@ -110,7 +117,7 @@ class Landmark106Det(nn.Module):
                            name=f"conv_{i}_dw")(x)
             x = _ConvBlock(pw, 1, 1, 0, 1, self.policy, self.train,
                            name=f"conv_{i}")(x)
-        x = _ConvBlock(64, 3, 2, 0, 1, self.policy, self.train,
+        x = _ConvBlock(64, 3, 2, 1, 1, self.policy, self.train,
                        name="conv_15")(x)
         x = x.reshape(x.shape[0], -1).astype(jnp.float32)
         x = nn.Dense(212, dtype=jnp.float32,
@@ -159,8 +166,8 @@ def convert_2d106det_params(params: Dict[str, np.ndarray],
               f"conv_{i}_batchnorm", f"conv_{i}_relu")
     block("conv_15", "conv_15_conv2d", "conv_15_batchnorm", "conv_15_relu")
     # MXNet Flatten runs over NCHW -> the FC input dim is ordered
-    # (C=64, H=2, W=2); our NHWC reshape orders it (H, W, C)
-    w = arg["fc1_weight"].reshape(212, 64, 2, 2)
+    # (C=64, H=3, W=3); our NHWC reshape orders it (H, W, C)
+    w = arg["fc1_weight"].reshape(212, 64, 3, 3)
     w = np.transpose(w, (0, 2, 3, 1)).reshape(212, -1)
     p["fc1"] = {"kernel": np.transpose(w, (1, 0)), "bias": arg["fc1_bias"]}
     return {"params": p, "batch_stats": s}

@@ -36,7 +36,7 @@ def _synthetic_mx_params(rng):
             rng.normal(1, 0.1, (c,))).astype(np.float32)
 
     cin = 3
-    for name, (kh, kw), _s, f, g in conv_plan():
+    for name, (kh, kw), _s, _p, f, g in conv_plan():
         arg[f"{name}_weight"] = rng.normal(
             0, 0.1, (f, cin // g, kh, kw)).astype(np.float32)
         base = name[: -len("_conv2d")]
@@ -44,7 +44,7 @@ def _synthetic_mx_params(rng):
            else f"{base}_batchnorm", f)
         arg[f"{base}_relu_gamma"] = np.full((f,), 0.25, np.float32)
         cin = f
-    arg["fc1_weight"] = rng.normal(0, 0.05, (212, 256)).astype(np.float32)
+    arg["fc1_weight"] = rng.normal(0, 0.05, (212, 576)).astype(np.float32)
     arg["fc1_bias"] = np.zeros((212,), np.float32)
     return arg, aux
 
