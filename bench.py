@@ -10,38 +10,49 @@ ride as a traced array exactly like the production steady state (the
 probe that selects them is a one-time cost per video). Weights are
 random — throughput is weight-independent.
 
+DELIVERABILITY (round-2 lesson: BENCH_r02 was rc=124 with no output
+because the run died inside a cold ~40-75 min relay compile): the bench
+is TIERED. Tier A measures the fused chunk-32 program (small compile,
+cache-warmed during the round) and prints a complete JSON result line
+IMMEDIATELY, flushed. Tier B upgrades to the fused chunk-128/group-32
+program (the fastest known config) and prints an updated line with the
+best fps. A driver timeout can therefore only cost the *upgrade*, never
+the artifact. Both programs are persisted in the compile cache
+(/tmp/ghost_tpu_jax_cache) — with a warm cache the whole bench is a few
+minutes of execution, no compilation.
+
 Baseline: the reference publishes no numbers (BASELINE.md); the
 BASELINE.json north star is >=120 fps/chip on v5e, so
 vs_baseline = fps / 120.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints one JSON line per completed tier; the LAST line is the final
+result: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
 
 
-def main():
-    import jax
+def _log(msg):
+    print(msg, file=sys.stderr, flush=True)
 
-    # persistent compile cache: tunnel compiles of the pipeline are
-    # expensive; cache them across bench invocations
-    jax.config.update("jax_compilation_cache_dir", "/tmp/ghost_tpu_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+def measure_fused(chunk: int, group: int, iters: int = 4) -> float:
+    """Build a random-weights pipeline and time the fused steady-state
+    program at the given chunk/micro-batch-group size. Returns fps."""
+    import jax
+    import jax.numpy as jnp
 
     from ghost_tpu.core.precision import DEFAULT_POLICY
     from ghost_tpu.pipeline.swap import SwapConfig, build_random_pipeline
 
-    # chunk 128 in micro-batch groups of 32: the fused program's lax.map
-    # keeps the HBM peak at the chunk-32 level while the ~26 ms relay
-    # dispatch floor amortizes over 128 frames
-    chunk = 128
     cfg = SwapConfig(chunk_size=chunk, max_faces=4, crop_size=224,
-                     match_faces=2, fused_group=32)
+                     match_faces=2, fused_group=group)
     pipe = build_random_pipeline(
         cfg, policy=DEFAULT_POLICY, arcface_layers=(3, 13, 30, 3)
     )
@@ -52,19 +63,17 @@ def main():
     src_emb = pipe.embed_sources(np.asarray(sources))
     tgt_emb = pipe.embed_targets(np.asarray(sources))
 
-    import jax.numpy as jnp
-
     frames_d = jnp.asarray(frames)
-
     # steady-state production path: per-shot mask params as a traced
     # array (selected once per video by the probe chunk, amortized away)
     mask_params = jnp.asarray([[5.0, 5.0, 5.0, 2.0]], jnp.float32)
 
-    # one fused dispatch to compile
+    # one fused dispatch to compile (cache hit = seconds)
     t0 = time.time()
     out = pipe._detect_swap(frames_d, tgt_emb, src_emb, mask_params)
     jax.block_until_ready(out)
-    compile_s = time.time() - t0
+    _log(f"tier chunk={chunk}/group={group}: first dispatch "
+         f"{time.time() - t0:.1f}s")
 
     # timed steady state. Iterations are chained (each chunk's blended
     # output is the next chunk's input) so every step depends on real
@@ -73,7 +82,6 @@ def main():
     checksum_fn = jax.jit(lambda x: jnp.sum(x.astype(jnp.float32)))
     _ = float(checksum_fn(frames_d))  # compile the checksum program
 
-    iters = 4
     cur = frames_d
     t0 = time.time()
     for _ in range(iters):
@@ -83,14 +91,47 @@ def main():
     # platforms, and downloading full frames would time the transfer
     _ = float(checksum_fn(cur))
     dt = time.time() - t0
-    fps = iters * chunk / dt
+    return iters * chunk / dt
 
+
+def emit(fps: float):
     print(json.dumps({
         "metric": "1080p_swap_frames_per_sec_per_chip",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / 120.0, 3),
-    }))
+    }), flush=True)
+
+
+def main():
+    import jax
+
+    # persistent compile cache: tunnel compiles of the pipeline are
+    # expensive; cache them across bench invocations
+    jax.config.update("jax_compilation_cache_dir", "/tmp/ghost_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+    best = 0.0
+    # Tier A: fused chunk-32 — small program, guaranteed-warm artifact.
+    # 8 iters so the measured window (~256 frames) is long enough that
+    # the one-off dispatch jitter stays in the noise.
+    try:
+        fps = measure_fused(chunk=32, group=32, iters=8)
+        best = max(best, fps)
+        emit(best)
+    except Exception as e:  # pragma: no cover - defensive
+        _log(f"tier A failed: {e!r}")
+
+    # Tier B: fused chunk-128 in group-32 micro-batches — the fastest
+    # known config (HBM peaks at chunk-32 level, dispatch floor
+    # amortizes over 128 frames).
+    try:
+        fps = measure_fused(chunk=128, group=32, iters=4)
+        best = max(best, fps)
+    except Exception as e:  # pragma: no cover - defensive
+        _log(f"tier B failed: {e!r}")
+    if best > 0.0:
+        emit(best)
 
 
 if __name__ == "__main__":
