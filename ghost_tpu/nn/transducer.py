@@ -41,7 +41,6 @@ def transducer_loss(log_probs, labels, f_len, y_len, blank_idx: int = 0):
     Returns (B,) negative log-likelihoods.
     """
     b, t_max, u_max1, _v = log_probs.shape
-    u_max = u_max1 - 1
 
     # per-cell transition log-probs
     lp_blank = log_probs[..., blank_idx]  # (B,T,U+1)
@@ -51,42 +50,51 @@ def transducer_loss(log_probs, labels, f_len, y_len, blank_idx: int = 0):
         log_probs, label_idx[:, None, :, None], axis=-1
     )[..., 0]  # (B,T,U+1)
 
-    # alpha over anti-diagonals: alpha[t,u] with alpha[0,0]=0
-    # recurrence: alpha[t,u] = logaddexp(alpha[t-1,u] + blank[t-1,u],
-    #                                    alpha[t,u-1] + emit[t,u-1])
-    def step(alpha_prev_row, t):
-        # compute row t of alpha given row t-1 (vector over u), scanning
-        # u sequentially inside via associative form is still O(U); use
-        # cumulative formulation: first the blank-from-above term, then
-        # a left-to-right scan folding emits.
-        from_above = jnp.where(
-            t > 0,
-            alpha_prev_row + lp_blank[:, jnp.maximum(t - 1, 0), :],
-            jnp.where(jnp.arange(u_max1)[None, :] == 0, 0.0, NEG_INF),
-        )
-        if True:
-            def u_step(carry, u):
-                left = carry + lp_emit[:, t, jnp.maximum(u - 1, 0)]
-                cell = jnp.where(
-                    u > 0,
-                    jnp.logaddexp(from_above[:, u], left),
-                    from_above[:, u],
-                )
-                return cell, cell
+    # alpha over anti-diagonals d = t + u:
+    #   alpha[t,u] = logaddexp(alpha[t-1,u] + blank[t-1,u],
+    #                          alpha[t,u-1] + emit[t,u-1])
+    # Both parents of every cell on diagonal d live on diagonal d-1, so
+    # the whole DP is ONE scan of T+U steps, each a vectorized (B,U+1)
+    # update — the repo's own measured-facts list says long sequential
+    # scans are pathological on TPU, and the previous nested-scan form
+    # was O(T*U) sequential. Diagonal state is indexed by u:
+    # diag_d[u] = alpha[d-u, u].
+    blank_ut = jnp.moveaxis(lp_blank, 1, 2)  # (B,U+1,T) u-major
+    emit_ut = jnp.moveaxis(lp_emit, 1, 2)
+    u_ar = jnp.arange(u_max1)
 
-            _, cols = jax.lax.scan(u_step,
-                                   jnp.full((b,), NEG_INF),
-                                   jnp.arange(u_max1))
-            alpha_row = jnp.moveaxis(cols, 0, 1)  # (B,U+1)
-        return alpha_row, alpha_row
+    def gather_t(table_ut, t_idx):
+        # table (B,U+1,T), t_idx (U+1,) -> out[:, u] = table[:, u, t_idx[u]]
+        idx = jnp.broadcast_to(
+            jnp.clip(t_idx, 0, t_max - 1)[None, :, None], (b, u_max1, 1))
+        return jnp.take_along_axis(table_ut, idx, axis=2)[..., 0]
 
-    init = jnp.full((b, u_max1), NEG_INF)
-    _, alphas = jax.lax.scan(step, init, jnp.arange(t_max))
-    alphas = jnp.moveaxis(alphas, 0, 1)  # (B,T,U+1)
+    neg_col = jnp.full((b, 1), NEG_INF)
 
-    # ll = alpha[f_len-1, y_len] + blank[f_len-1, y_len]
+    def step(diag_prev, d):
+        t_u = d - u_ar  # (U+1,) the t-coordinate of each lane
+        cell_ok = (t_u >= 0) & (t_u < t_max)
+        # from above: diag_{d-1}[u] = alpha[t-1,u]; + blank[t-1,u]
+        above = diag_prev + gather_t(blank_ut, t_u - 1)
+        above = jnp.where((t_u >= 1)[None, :], above, NEG_INF)
+        # from left: diag_{d-1}[u-1] = alpha[t,u-1]; + emit[t,u-1].
+        # gather_t(emit_ut, t_u - 1)[u-1] == emit[u-1, d-u] == emit[t,u-1]
+        g = gather_t(emit_ut, t_u - 1)
+        left = (jnp.concatenate([neg_col, diag_prev[:, :-1]], axis=1)
+                + jnp.concatenate([neg_col, g[:, :-1]], axis=1))
+        diag = jnp.where(cell_ok[None, :],
+                         jnp.logaddexp(above, left), NEG_INF)
+        return diag, diag
+
+    init = jnp.where(u_ar[None, :] == 0, 0.0,
+                     jnp.full((b, u_max1), NEG_INF))  # diagonal d=0
+    _, tail = jax.lax.scan(step, init, jnp.arange(1, t_max + u_max1 - 1))
+    diags = jnp.concatenate([init[None], tail], 0)  # (T+U, B, U+1)
+
+    # ll = alpha[f_len-1, y_len] + blank[f_len-1, y_len]; the diagonal
+    # holding alpha[t,u] is d = t + u
     t_idx = jnp.maximum(f_len - 1, 0)
-    gather_alpha = alphas[jnp.arange(b), t_idx, y_len]
+    gather_alpha = diags[t_idx + y_len, jnp.arange(b), y_len]
     gather_blank = lp_blank[jnp.arange(b), t_idx, y_len]
     return -(gather_alpha + gather_blank)
 
