@@ -31,13 +31,21 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_blocks", default=2, type=int)
     p.add_argument("--batch_size", default=40, type=int)
     p.add_argument("--crop_size", default=224, type=int)
-    p.add_argument("--use_sr", default=False, type=bool)
+    # --use_sr / --image_to_image keep the reference's `type=bool` wart
+    # for flag parity (reference inference.py:102,107: any non-empty
+    # string, including "False", parses as True); the TPU-native flags
+    # below use str2bool instead. The warning in help= is deliberate.
+    p.add_argument("--use_sr", default=False, type=bool,
+                   help="reference-parity flag: ANY non-empty value "
+                        "(even 'False') enables; omit to disable")
     p.add_argument("--similarity_th", default=0.15, type=float)
     p.add_argument("--source_paths", default=[], nargs="+")
     p.add_argument("--target_faces_paths", default=[], nargs="+")
     p.add_argument("--target_video", default="", type=str)
     p.add_argument("--out_video_name", default="result.mp4", type=str)
-    p.add_argument("--image_to_image", default=False, type=bool)
+    p.add_argument("--image_to_image", default=False, type=bool,
+                   help="reference-parity flag: ANY non-empty value "
+                        "(even 'False') enables; omit to disable")
     p.add_argument("--target_image", default="", type=str)
     p.add_argument("--out_image_name", default="result.png", type=str)
     # TPU-native extras

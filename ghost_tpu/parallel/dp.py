@@ -48,18 +48,58 @@ def shard_batch_on_mesh(mesh: Mesh, batch: Any) -> Any:
     return jax.tree.map(put, batch)
 
 
+def _check_batch_sharding(mesh: Mesh, batch: Any) -> None:
+    """Catch the two silent DDP misconfigurations GSPMD can't error on:
+    a batch whose leading axis doesn't divide over "data" (XLA would
+    pad-replicate and quietly train on duplicated samples), and a batch
+    leaf committed to a non-data-leading layout (XLA would insert an
+    all-to-all resharding every step instead of failing)."""
+    n_data = mesh.shape.get(DATA_AXIS, 1)
+    for path, leaf in jax.tree_util.tree_flatten_with_path(batch)[0]:
+        ndim = getattr(leaf, "ndim", 0)
+        if not ndim:
+            continue
+        name = jax.tree_util.keystr(path)
+        if leaf.shape[0] % n_data:
+            raise ValueError(
+                f"batch leaf {name} has leading dim {leaf.shape[0]}, not "
+                f"divisible by mesh '{DATA_AXIS}' size {n_data}")
+        sharding = getattr(leaf, "sharding", None)
+        if (isinstance(sharding, NamedSharding) and sharding.mesh == mesh
+                and sharding.spec):
+            lead = sharding.spec[0]
+            if lead is not None and lead != DATA_AXIS:
+                raise ValueError(
+                    f"batch leaf {name} is sharded with leading axis "
+                    f"{lead!r}; expected '{DATA_AXIS}' "
+                    f"(use shard_batch_on_mesh)")
+
+
 def shard_train_step(
     mesh: Mesh,
     step_fn: Callable,
     donate_state: bool = True,
+    check_shardings: bool = True,
 ) -> Callable:
     """Compile `step_fn(state, batch, ...) -> (state, ...)` for the mesh.
 
     Inputs carry their shardings (replicate_state / shard_batch_on_mesh);
     jit propagates them and XLA inserts the grad psum over ICI. The
-    state buffer is donated so params update in place.
+    state buffer is donated so params update in place. Each call first
+    validates the batch layout (`_check_batch_sharding`) — the failure
+    modes apex DDP surfaces as NCCL size mismatches are silent
+    performance bugs under GSPMD, so they're checked eagerly here.
     """
-    return jax.jit(step_fn, donate_argnums=(0,) if donate_state else ())
+    jitted = jax.jit(step_fn, donate_argnums=(0,) if donate_state else ())
+    if not check_shardings:
+        return jitted
+
+    def step(state, batch, *args, **kwargs):
+        _check_batch_sharding(mesh, batch)
+        return jitted(state, batch, *args, **kwargs)
+
+    step.jitted = jitted
+    return step
 
 
 def launch_multihost(coordinator: str | None = None,

@@ -191,3 +191,35 @@ def test_eye_loss_changes_gradients(rng):
     # below its floor (reference train.py:336-338)
     m = ratchet_multiplier(float(results[True][1]["L_eyes"]), 1.0, 100.0)
     assert m >= 1.0
+
+
+class TestBatchShardingCheck:
+    """shard_train_step's eager batch-layout validation
+    (parallel/dp.py:_check_batch_sharding)."""
+
+    def test_indivisible_batch_rejected(self):
+        from ghost_tpu.parallel.dp import _check_batch_sharding
+
+        mesh = make_mesh(data=8)
+        batch = {"x": np.zeros((6, 4), np.float32)}  # 6 % 8 != 0
+        with pytest.raises(ValueError, match="not\\s+divisible"):
+            _check_batch_sharding(mesh, batch)
+
+    def test_wrong_leading_axis_rejected(self):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ghost_tpu.parallel.dp import _check_batch_sharding
+
+        mesh = make_mesh(data=4, model=2)
+        x = jax.device_put(np.zeros((8, 8), np.float32),
+                           NamedSharding(mesh, P("model", None)))
+        with pytest.raises(ValueError, match="leading axis"):
+            _check_batch_sharding(mesh, {"x": x})
+
+    def test_good_batch_passes(self):
+        mesh = make_mesh(data=8)
+        batch = shard_batch_on_mesh(mesh, {"x": np.zeros((16, 4), np.float32),
+                                           "n": np.float32(3.0)})
+        from ghost_tpu.parallel.dp import _check_batch_sharding
+
+        _check_batch_sharding(mesh, batch)  # no raise
