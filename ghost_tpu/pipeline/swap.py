@@ -707,7 +707,18 @@ class SwapPipeline:
             # exposes per-target presence so the probe can fire at the
             # first appearance, then the chunk is reprocessed with the
             # selection — the reference's params-from-first-frame
-            # caching, video_processing.py:204,218-223)
+            # caching, video_processing.py:204,218-223).
+            #
+            # Steady chunks run one-chunk-lookahead: chunk i's device
+            # result is held while chunk i+1 is uploaded and dispatched,
+            # so the D2H download of chunk i and the H2D upload of chunk
+            # i+1 both overlap chunk i+1's on-device compute (async
+            # dispatch) instead of serializing host<->device<->host per
+            # chunk. The split (probe) path always runs before the first
+            # steady chunk, so yield order is preserved. This replaces
+            # the reference's whole-video-in-RAM + per-frame ping-pong
+            # (video_processing.py:37-66).
+            pending = None  # (device result, valid frame count)
             for frames_np in chunks:
                 frames_np = np.asarray(frames_np)
                 if need:
@@ -722,7 +733,11 @@ class SwapPipeline:
                 res = self._detect_swap(jnp.asarray(fpad), tgt_emb,
                                         src_emb, mask_params_t,
                                         match_targets)
-                yield np.asarray(res)[:n]
+                if pending is not None:
+                    yield np.asarray(pending[0])[:pending[1]]
+                pending = (res, n)
+            if pending is not None:
+                yield np.asarray(pending[0])[:pending[1]]
             return
 
         for frames_np in chunks:

