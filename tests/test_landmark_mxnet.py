@@ -90,5 +90,34 @@ def test_mx_prefixed_single_dict():
     assert max(jax.tree.leaves(d)) == 0.0
 
 
+def test_convert_cli_reads_raw_params_file(tmp_path):
+    """docs/WEIGHTS.md promises `ghost-tpu-convert --kind landmark_mxnet
+    --src 2d106det-0000.params` works on the raw MXNet NDArray file with
+    no mxnet install: serialize synthetic params natively, run the CLI,
+    and load the msgpack back into the model."""
+    import jax
+    import jax.numpy as jnp
+
+    from ghost_tpu.cli.convert import main
+    from ghost_tpu.convert.mxnet_nd import save_ndarray_dict
+    from ghost_tpu.core.checkpoint import load_msgpack
+    from ghost_tpu.models.landmark_mxnet import Landmark106Det
+
+    rng = np.random.default_rng(2)
+    arg, aux = _synthetic_mx_params(rng)
+    blob = {f"arg:{k}": v for k, v in arg.items()}
+    blob.update({f"aux:{k}": v for k, v in aux.items()})
+    src = str(tmp_path / "2d106det-0000.params")
+    out = str(tmp_path / "lmk.msgpack")
+    save_ndarray_dict(src, blob)
+    main(["--kind", "landmark_mxnet", "--src", src, "--out", out])
+
+    variables = load_msgpack(out)
+    pts = jax.jit(Landmark106Det().apply)(
+        variables, jnp.zeros((1, 192, 192, 3)))
+    assert pts.shape == (1, 106, 2)
+    assert np.isfinite(np.asarray(pts)).all()
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
