@@ -39,7 +39,9 @@ def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
         sd = torch.load(path, map_location="cpu", weights_only=False)
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()
-    for wrapper in ("state_dict", "model"):
+    # basicsr-family checkpoints (RealESRGAN/GFPGAN) nest under
+    # params_ema/params; mmdet under state_dict; misc under model
+    for wrapper in ("state_dict", "model", "params_ema", "params"):
         if isinstance(sd, dict) and wrapper in sd \
                 and isinstance(sd[wrapper], dict):
             sd = sd[wrapper]
@@ -464,4 +466,35 @@ def convert_discriminator_state_dict(
             }
         }
         params[f"scale{i}"] = scale
+    return {"params": params}
+
+
+def _conv_wb(sd, name):
+    return {"Conv_0": {"kernel": _conv(sd, name),
+                       "bias": sd[f"{name}.bias"]}}
+
+
+def convert_rrdbnet_state_dict(
+    sd: Mapping[str, np.ndarray], num_block: int = 23
+):
+    """Real-ESRGAN RRDBNet checkpoints (RealESRGAN_x4plus.pth — the
+    reference's bg upsampler, utils/training/upsampler.py:32,61).
+    Official key layout: conv_first / body.N.rdbM.convK / conv_body /
+    conv_up1 / conv_up2 / conv_hr / conv_last; checkpoints wrap the
+    state dict under 'params_ema' or 'params'."""
+    for wrapper in ("params_ema", "params"):
+        if wrapper in sd and isinstance(sd[wrapper], dict):
+            sd = sd[wrapper]
+            break
+    params: Dict = {}
+    for top in ("conv_first", "conv_body", "conv_up1", "conv_up2",
+                "conv_hr", "conv_last"):
+        params[top] = _conv_wb(sd, top)
+    for i in range(num_block):
+        blk: Dict = {}
+        for m in range(1, 4):
+            rdb = {f"conv{k}": _conv_wb(sd, f"body.{i}.rdb{m}.conv{k}")
+                   for k in range(1, 6)}
+            blk[f"rdb{m}"] = rdb
+        params[f"body_{i}"] = blk
     return {"params": params}
