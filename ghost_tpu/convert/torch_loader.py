@@ -498,3 +498,100 @@ def convert_rrdbnet_state_dict(
             blk[f"rdb{m}"] = rdb
         params[f"body_{i}"] = blk
     return {"params": params}
+
+
+def convert_gfpgan_state_dict(
+    sd: Mapping[str, np.ndarray],
+    out_size: int = 512,
+    num_style_feat: int = 512,
+):
+    """GFPGANv1Clean checkpoints (GFPGANv1.4.pth / v1.3 — the
+    reference's face enhancer, utils/training/upsampler.py:39-46).
+    Official key layout per the public gfpganv1_clean_arch module;
+    noise buffers (stylegan_decoder.noises.*) are dropped — serving
+    uses deterministic zero noise (models/sr/gfpgan.py)."""
+    import math
+
+    log_size = int(math.log2(out_size))
+    n_stages = log_size - 2
+
+    def conv_wb(name):
+        return {"Conv_0": {"kernel": _conv(sd, name),
+                           "bias": sd[f"{name}.bias"]}}
+
+    def resblock(prefix):
+        return {
+            "conv1": conv_wb(f"{prefix}.conv1"),
+            "conv2": conv_wb(f"{prefix}.conv2"),
+            "skip": {"Conv_0": {"kernel": _conv(sd, f"{prefix}.skip")}},
+        }
+
+    def modconv(prefix):
+        # torch weight (1, cout, cin, k, k) -> (k, k, cin, cout)
+        w = np.transpose(sd[f"{prefix}.weight"][0], (2, 3, 1, 0))
+        return {
+            "weight": w,
+            "modulation": {"Dense_0": {
+                "kernel": _linear_kernel(sd, f"{prefix}.modulation"),
+                "bias": sd[f"{prefix}.modulation.bias"],
+            }},
+        }
+
+    def styleconv(prefix):
+        return {
+            "modulated_conv": modconv(f"{prefix}.modulated_conv"),
+            "noise_weight": sd[f"{prefix}.weight"].reshape(1),
+            "bias": sd[f"{prefix}.bias"].reshape(-1),
+        }
+
+    def torgb(prefix):
+        return {
+            "modulated_conv": modconv(f"{prefix}.modulated_conv"),
+            "bias": sd[f"{prefix}.bias"].reshape(-1),
+        }
+
+    params: Dict = {"conv_body_first": conv_wb("conv_body_first"),
+                    "final_conv": conv_wb("final_conv")}
+    for i in range(n_stages):
+        params[f"conv_body_down_{i}"] = resblock(f"conv_body_down.{i}")
+        params[f"conv_body_up_{i}"] = resblock(f"conv_body_up.{i}")
+        for kind in ("scale", "shift"):
+            params[f"condition_{kind}_{i}_0"] = conv_wb(
+                f"condition_{kind}.{i}.0")
+            params[f"condition_{kind}_{i}_1"] = conv_wb(
+                f"condition_{kind}.{i}.2")
+        if f"toRGB.{i}.weight" in sd:
+            params[f"toRGB_{i}"] = conv_wb(f"toRGB.{i}")
+
+    # final_linear: torch flattens NCHW (c*16 + y*4 + x); our NHWC
+    # flatten is ((y*4 + x)*C + c) — permute the input axis to match
+    w = sd["final_linear.weight"]  # (out, C*16)
+    c4 = w.shape[1] // 16
+    w = (w.reshape(-1, c4, 4, 4).transpose(0, 2, 3, 1)
+         .reshape(-1, 16 * c4))
+    params["final_linear"] = {"Dense_0": {
+        "kernel": np.transpose(w, (1, 0)),
+        "bias": sd["final_linear.bias"],
+    }}
+
+    dec: Dict = {
+        "constant_input": np.transpose(
+            sd["stylegan_decoder.constant_input.weight"], (0, 2, 3, 1)),
+        "style_conv1": styleconv("stylegan_decoder.style_conv1"),
+        "to_rgb1": torgb("stylegan_decoder.to_rgb1"),
+    }
+    for j in range(2 * n_stages):
+        dec[f"style_convs_{j}"] = styleconv(
+            f"stylegan_decoder.style_convs.{j}")
+    for s in range(n_stages):
+        dec[f"to_rgbs_{s}"] = torgb(f"stylegan_decoder.to_rgbs.{s}")
+    for j in range(8):
+        k = f"stylegan_decoder.style_mlp.{2 * j}.weight"
+        if k in sd:
+            dec[f"mlp_{j}"] = {"Dense_0": {
+                "kernel": _linear_kernel(
+                    sd, f"stylegan_decoder.style_mlp.{2 * j}"),
+                "bias": sd[f"stylegan_decoder.style_mlp.{2 * j}.bias"],
+            }}
+    params["stylegan_decoder"] = dec
+    return {"params": params}

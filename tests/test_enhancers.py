@@ -105,3 +105,226 @@ def test_rrdbnet_torch_golden(scale):
     ref = ref.numpy().transpose(0, 2, 3, 1)
     assert out.shape == ref.shape == (2, 16 * scale, 16 * scale, 3)
     np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# GFPGAN v1 clean
+# ---------------------------------------------------------------------------
+
+import math
+
+from ghost_tpu.convert.torch_loader import convert_gfpgan_state_dict
+from ghost_tpu.models.sr.gfpgan import (GFPGANClean, decoder_channels,
+                                        unet_channels)
+
+
+class TModulatedConv2d(tnn.Module):
+    def __init__(self, cin, cout, k, nsf, demodulate=True, sample_mode=None):
+        super().__init__()
+        self.cout, self.k = cout, k
+        self.demodulate, self.sample_mode = demodulate, sample_mode
+        self.weight = tnn.Parameter(
+            torch.randn(1, cout, cin, k, k) / math.sqrt(cin * k * k))
+        self.modulation = tnn.Linear(nsf, cin)
+
+    def forward(self, x, style):
+        b, c, _, _ = x.shape
+        style = self.modulation(style).view(b, 1, c, 1, 1)
+        weight = self.weight * style
+        if self.demodulate:
+            demod = torch.rsqrt(weight.pow(2).sum([2, 3, 4]) + 1e-8)
+            weight = weight * demod.view(b, self.cout, 1, 1, 1)
+        weight = weight.view(b * self.cout, c, self.k, self.k)
+        if self.sample_mode == "upsample":
+            x = F.interpolate(x, scale_factor=2, mode="bilinear",
+                              align_corners=False)
+        elif self.sample_mode == "downsample":
+            x = F.interpolate(x, scale_factor=0.5, mode="bilinear",
+                              align_corners=False)
+        b, c, h, w = x.shape
+        out = F.conv2d(x.view(1, b * c, h, w), weight,
+                       padding=self.k // 2, groups=b)
+        return out.view(b, self.cout, h, w)
+
+
+class TStyleConv(tnn.Module):
+    def __init__(self, cin, cout, k, nsf, sample_mode=None):
+        super().__init__()
+        self.modulated_conv = TModulatedConv2d(cin, cout, k, nsf, True,
+                                               sample_mode)
+        self.weight = tnn.Parameter(torch.zeros(1))
+        self.bias = tnn.Parameter(torch.zeros(1, cout, 1, 1))
+
+    def forward(self, x, style, noise):
+        out = self.modulated_conv(x, style) * 2 ** 0.5
+        out = out + self.weight * noise
+        return F.leaky_relu(out + self.bias, 0.2)
+
+
+class TToRGB(tnn.Module):
+    def __init__(self, cin, nsf, upsample=True):
+        super().__init__()
+        self.upsample = upsample
+        self.modulated_conv = TModulatedConv2d(cin, 3, 1, nsf, False, None)
+        self.bias = tnn.Parameter(torch.zeros(1, 3, 1, 1))
+
+    def forward(self, x, style, skip=None):
+        out = self.modulated_conv(x, style) + self.bias
+        if skip is not None:
+            if self.upsample:
+                skip = F.interpolate(skip, scale_factor=2, mode="bilinear",
+                                     align_corners=False)
+            out = out + skip
+        return out
+
+
+class TResBlock(tnn.Module):
+    def __init__(self, cin, cout, mode):
+        super().__init__()
+        self.sf = 0.5 if mode == "down" else 2
+        self.conv1 = tnn.Conv2d(cin, cin, 3, 1, 1)
+        self.conv2 = tnn.Conv2d(cin, cout, 3, 1, 1)
+        self.skip = tnn.Conv2d(cin, cout, 1, bias=False)
+
+    def forward(self, x):
+        out = F.leaky_relu(self.conv1(x), 0.2)
+        out = F.interpolate(out, scale_factor=self.sf, mode="bilinear",
+                            align_corners=False)
+        out = F.leaky_relu(self.conv2(out), 0.2)
+        x = F.interpolate(x, scale_factor=self.sf, mode="bilinear",
+                          align_corners=False)
+        return out + self.skip(x)
+
+
+class TStyleGAN2CSFT(tnn.Module):
+    def __init__(self, out_size, nsf, num_mlp, cm, narrow, sft_half):
+        super().__init__()
+        ch = {k: v for k, v in decoder_channels(cm, narrow).items()}
+        self.log_size = int(math.log2(out_size))
+        self.sft_half = sft_half
+        layers = []
+        for _ in range(num_mlp):
+            layers += [tnn.Linear(nsf, nsf), tnn.LeakyReLU(0.2)]
+        self.style_mlp = tnn.Sequential(*layers)
+
+        class _Const(tnn.Module):
+            def __init__(s, c):
+                super().__init__()
+                s.weight = tnn.Parameter(torch.randn(1, c, 4, 4))
+
+        self.constant_input = _Const(ch[4])
+        self.style_conv1 = TStyleConv(ch[4], ch[4], 3, nsf, None)
+        self.to_rgb1 = TToRGB(ch[4], nsf, upsample=False)
+        self.style_convs = tnn.ModuleList()
+        self.to_rgbs = tnn.ModuleList()
+        cin = ch[4]
+        for i in range(3, self.log_size + 1):
+            cout = ch[2 ** i]
+            self.style_convs.append(
+                TStyleConv(cin, cout, 3, nsf, "upsample"))
+            self.style_convs.append(TStyleConv(cout, cout, 3, nsf, None))
+            self.to_rgbs.append(TToRGB(cout, nsf, upsample=True))
+            cin = cout
+
+    def forward(self, latent, conditions, noise):
+        out = self.constant_input.weight.repeat(latent.shape[0], 1, 1, 1)
+        out = self.style_conv1(out, latent[:, 0], noise[0])
+        skip = self.to_rgb1(out, latent[:, 1])
+        i = 1
+        for conv1, conv2, n1, n2, to_rgb in zip(
+                self.style_convs[::2], self.style_convs[1::2],
+                noise[1::2], noise[2::2], self.to_rgbs):
+            out = conv1(out, latent[:, i], n1)
+            if self.sft_half:
+                same, sft = torch.split(out, out.size(1) // 2, dim=1)
+                sft = sft * conditions[i - 1] + conditions[i]
+                out = torch.cat([same, sft], dim=1)
+            else:
+                out = out * conditions[i - 1] + conditions[i]
+            out = conv2(out, latent[:, i + 1], n2)
+            skip = to_rgb(out, latent[:, i + 2], skip)
+            i += 2
+        return skip
+
+
+class TGFPGANv1Clean(tnn.Module):
+    """gfpganv1_clean_arch.GFPGANv1Clean with the official attribute
+    names (different_w=True, input_is_latent=True, sft_half=True)."""
+
+    def __init__(self, out_size, nsf, cm, num_mlp, narrow):
+        super().__init__()
+        uch = unet_channels(cm, narrow)
+        self.log_size = int(math.log2(out_size))
+        self.nsf = nsf
+        self.conv_body_first = tnn.Conv2d(3, uch[out_size], 1)
+        self.conv_body_down = tnn.ModuleList()
+        cin = uch[out_size]
+        for i in range(self.log_size, 2, -1):
+            cout = uch[2 ** (i - 1)]
+            self.conv_body_down.append(TResBlock(cin, cout, "down"))
+            cin = cout
+        self.final_conv = tnn.Conv2d(cin, uch[4], 3, 1, 1)
+        num_latent = self.log_size * 2 - 2
+        self.final_linear = tnn.Linear(uch[4] * 16, num_latent * nsf)
+        self.conv_body_up = tnn.ModuleList()
+        self.condition_scale = tnn.ModuleList()
+        self.condition_shift = tnn.ModuleList()
+        self.toRGB = tnn.ModuleList()
+        cin = uch[4]
+        for i in range(3, self.log_size + 1):
+            cout = uch[2 ** i]
+            self.conv_body_up.append(TResBlock(cin, cout, "up"))
+            self.condition_scale.append(tnn.Sequential(
+                tnn.Conv2d(cout, cout, 3, 1, 1), tnn.LeakyReLU(0.2),
+                tnn.Conv2d(cout, cout, 3, 1, 1)))
+            self.condition_shift.append(tnn.Sequential(
+                tnn.Conv2d(cout, cout, 3, 1, 1), tnn.LeakyReLU(0.2),
+                tnn.Conv2d(cout, cout, 3, 1, 1)))
+            self.toRGB.append(tnn.Conv2d(cout, 3, 1))
+            cin = cout
+        self.stylegan_decoder = TStyleGAN2CSFT(
+            out_size, nsf, num_mlp, cm, narrow, True)
+
+    def forward(self, x, noise):
+        feat = F.leaky_relu(self.conv_body_first(x), 0.2)
+        skips = []
+        for block in self.conv_body_down:
+            feat = block(feat)
+            skips.insert(0, feat)
+        feat = F.leaky_relu(self.final_conv(feat), 0.2)
+        style = self.final_linear(feat.reshape(feat.size(0), -1))
+        latent = style.view(style.size(0), -1, self.nsf)
+        conditions = []
+        for i, block in enumerate(self.conv_body_up):
+            feat = feat + skips[i]
+            feat = block(feat)
+            conditions.append(self.condition_scale[i](feat))
+            conditions.append(self.condition_shift[i](feat))
+        return self.stylegan_decoder(latent, conditions, noise)
+
+
+def test_gfpgan_clean_torch_golden():
+    torch.manual_seed(0)
+    out_size, nsf, cm, narrow = 32, 32, 2, 0.25
+    tm = TGFPGANv1Clean(out_size, nsf, cm, 2, narrow).eval()
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    variables = convert_gfpgan_state_dict(sd, out_size=out_size,
+                                          num_style_feat=nsf)
+
+    model = GFPGANClean(out_size=out_size, num_style_feat=nsf,
+                        channel_multiplier=cm, num_mlp=2, narrow=narrow,
+                        policy=FULL_PRECISION)
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-1, 1, (2, out_size, out_size, 3)).astype(np.float32)
+
+    num_layers = (int(math.log2(out_size)) - 2) * 2 + 1
+    tnoise = [torch.zeros(2, 1, 2 ** ((j + 5) // 2), 2 ** ((j + 5) // 2))
+              for j in range(num_layers)]
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x.transpose(0, 3, 1, 2)), tnoise)
+    ref = ref.numpy().transpose(0, 2, 3, 1)
+
+    out, _ = jax.jit(
+        lambda v, im: model.apply(v, im))(variables, jnp.asarray(x))
+    assert out.shape == ref.shape == (2, out_size, out_size, 3)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=5e-4, atol=5e-4)
