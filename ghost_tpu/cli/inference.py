@@ -67,7 +67,62 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--arcface_depth", default="iresnet100",
                    choices=["iresnet34", "iresnet50", "iresnet100", "tiny"])
     p.add_argument("--det_size", default=640, type=int)
+    p.add_argument("--enhance_output", default="none",
+                   choices=["none", "face", "full"],
+                   help="post-enhance outputs: 'face' = GFPGAN restore "
+                        "on detected faces, 'full' = + Real-ESRGAN "
+                        "background (reference upsample(), "
+                        "utils/training/upsampler.py:92-106)")
+    p.add_argument("--gfpgan_path", default="",
+                   help="GFPGANv1Clean weights (.pth)")
+    p.add_argument("--bg_upsampler_path", default="",
+                   help="RRDBNet (RealESRGAN_x4plus) weights (.pth)")
     return p
+
+
+def build_enhancer(args, pipe):
+    """Optional GFPGAN/RRDB post-pass sharing the pipeline's detector."""
+    if args.enhance_output == "none":
+        return None
+    import jax
+    import jax.numpy as jnp
+
+    from ghost_tpu.convert.torch_loader import (
+        convert_gfpgan_state_dict,
+        convert_rrdbnet_state_dict,
+        load_torch_checkpoint,
+    )
+    from ghost_tpu.core.precision import DEFAULT_POLICY, FULL_PRECISION
+    from ghost_tpu.models.sr.gfpgan import GFPGANClean
+    from ghost_tpu.models.sr.rrdb import RRDBNet
+    from ghost_tpu.pipeline.enhance import FaceEnhancer
+
+    policy = DEFAULT_POLICY if args.bf16 else FULL_PRECISION
+    gfp = GFPGANClean(policy=policy)
+    if os.path.exists(args.gfpgan_path):
+        gfp_vars = jax.tree.map(jnp.asarray, convert_gfpgan_state_dict(
+            load_torch_checkpoint(args.gfpgan_path)))
+    elif args.allow_random_weights:
+        print("WARNING: random GFPGAN weights (--gfpgan_path not given)")
+        gfp_vars = gfp.init(jax.random.key(0), jnp.zeros((1, 512, 512, 3)))
+    else:
+        raise SystemExit(f"missing --gfpgan_path {args.gfpgan_path!r}")
+    bg = None
+    if args.enhance_output == "full":
+        rrdb = RRDBNet(policy=policy)
+        if os.path.exists(args.bg_upsampler_path):
+            bg_vars = jax.tree.map(jnp.asarray, convert_rrdbnet_state_dict(
+                load_torch_checkpoint(args.bg_upsampler_path)))
+        elif args.allow_random_weights:
+            print("WARNING: random RRDB weights "
+                  "(--bg_upsampler_path not given)")
+            bg_vars = rrdb.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+        else:
+            raise SystemExit(
+                f"missing --bg_upsampler_path {args.bg_upsampler_path!r}")
+        bg = (rrdb, bg_vars)
+    return FaceEnhancer((pipe.det_mod, pipe.det_vars),
+                        (gfp, gfp_vars), bg, det_size=args.det_size)
 
 
 def load_pipeline(args):
@@ -193,6 +248,8 @@ def main(argv=None):
     enable_persistent_cache()
     args = build_parser().parse_args(argv)
     pipe = load_pipeline(args)
+    enh = build_enhancer(args, pipe)
+    post = enh.enhance if enh is not None else (lambda fr: fr)
 
     def crop_or_center(path: str) -> np.ndarray:
         img = read_image_rgb(path)
@@ -222,6 +279,7 @@ def main(argv=None):
         frame = read_image_rgb(args.target_image)
         # one device program (bit-exact vs the two-stage path)
         result = pipe.swap_image_fused(frame, sources, targets)
+        result = post(result[None])[0]
         write_image_rgb(args.out_image_name, result)
         print(f"Swapped Image saved with path {args.out_image_name}")
     elif args.streaming:
@@ -237,7 +295,7 @@ def main(argv=None):
         for out in pipe.swap_video_stream(
                 stream_video_chunks(args.target_video, pipe.cfg.chunk_size),
                 sources, targets, smooth=args.smooth):
-            writer.write(out)
+            writer.write(post(out))
             n_out += out.shape[0]
         writer.close()
         if n_out == 0:
@@ -249,6 +307,10 @@ def main(argv=None):
         frames, fps = read_video(args.target_video)
         out = pipe.swap_video_frames(frames, sources, targets,
                                      smooth=args.smooth)
+        out = np.concatenate(
+            [post(out[i:i + pipe.cfg.chunk_size])
+             for i in range(0, out.shape[0], pipe.cfg.chunk_size)]) \
+            if enh is not None else out
         write_video(args.out_video_name, out, fps)
         if add_audio_from_video(args.target_video, args.out_video_name):
             print("audio remuxed")

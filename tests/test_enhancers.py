@@ -328,3 +328,41 @@ def test_gfpgan_clean_torch_golden():
         lambda v, im: model.apply(v, im))(variables, jnp.asarray(x))
     assert out.shape == ref.shape == (2, out_size, out_size, 3)
     np.testing.assert_allclose(np.asarray(out), ref, rtol=5e-4, atol=5e-4)
+
+
+# ---------------------------------------------------------------------------
+# Enhance pipeline (reference upsample() parity surface)
+# ---------------------------------------------------------------------------
+
+
+def test_face_enhancer_pipeline_runs():
+    """Random-weights smoke of the jitted detect->align->GFPGAN->paste
+    (+RRDB background) chunk program: shapes static, output u8, frames
+    without a detected face pass through the bg path only."""
+    from ghost_tpu.models.scrfd import SCRFD
+    from ghost_tpu.models.sr.rrdb import RRDBNet as JRRDB
+    from ghost_tpu.pipeline.enhance import FaceEnhancer
+
+    key = jax.random.key(0)
+    det = SCRFD()
+    det_vars = det.init(key, jnp.zeros((1, 128, 128, 3)))
+    gfp = GFPGANClean(out_size=64, num_style_feat=32, channel_multiplier=2,
+                      num_mlp=2, narrow=0.25)
+    gfp_vars = gfp.init(key, jnp.zeros((1, 64, 64, 3)))
+    bg = JRRDB(num_feat=8, num_block=1, num_grow_ch=4, scale=4)
+    bg_vars = bg.init(key, jnp.zeros((1, 16, 16, 3)))
+
+    enh = FaceEnhancer((det, det_vars), (gfp, gfp_vars), (bg, bg_vars),
+                       det_size=128, max_faces=2, crop_size=64)
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, (2, 96, 128, 3), dtype=np.uint8)
+    out = enh.enhance(frames)
+    assert out.shape == frames.shape and out.dtype == np.uint8
+
+    # face-free path (threshold 2.0 disables every lane): with no bg
+    # model the frame must pass through bit-exact
+    enh2 = FaceEnhancer((det, det_vars), (gfp, gfp_vars), None,
+                        det_size=128, max_faces=2, crop_size=64,
+                        det_thresh=2.0)
+    out2 = enh2.enhance(frames)
+    np.testing.assert_array_equal(out2, frames)
