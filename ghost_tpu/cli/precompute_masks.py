@@ -2,11 +2,17 @@
 
 The reference precomputes Segment-Anything masks prompted with the 5
 face keypoints (reference segment_anything_celeba.py:53-63) as targets
-for train-mask.py. SAM (sam_vit_h, CUDA-oriented) is not shipped here;
-the TPU-native default target is the 106-landmark convex-hull soft mask
-(ops/mask.py — the same construction the inference paste-back uses,
-reference utils/inference/masks.py). Drop-in SAM masks can be supplied
-by pointing --mask_source at precomputed .npy files instead.
+for train-mask.py. Two target sources are supported:
+
+- default: the 106-landmark convex-hull soft mask (ops/mask.py — the
+  same construction the inference paste-back uses, reference
+  utils/inference/masks.py);
+- --sam_path ckpt.pth: the native Segment-Anything port
+  (models/sam.py) prompted with the 5 face keypoints, matching the
+  reference's segment_anything_celeba.py flow.
+
+Precomputed .npy masks from any external tool also work — point
+train-mask's --mask_source at them.
 
     python -m ghost_tpu.cli.precompute_masks --input_dir crops/ \
         --output_dir masks/
@@ -25,7 +31,37 @@ def build_parser():
     p.add_argument("--output_dir", required=True)
     p.add_argument("--landmark_path", default="", help="landmark net weights")
     p.add_argument("--batch_size", default=32, type=int)
+    p.add_argument("--sam_path", default="",
+                   help="SAM checkpoint (.pth): generate targets with the "
+                        "native Segment-Anything prompted by the 5 face "
+                        "keypoints (reference segment_anything_celeba.py:"
+                        "53-63) instead of hull masks")
+    p.add_argument("--sam_preset", default="vit_h",
+                   choices=["vit_b", "vit_l", "vit_h"])
     return p
+
+
+def sam_mask_loop(pred, input_dir: str, output_dir: str):
+    """SAM targets (reference train-mask.py:236-274): prompt with the
+    5 face keypoints. Inputs are norm_crop-aligned crops, so the
+    keypoints sit at the arcface template scaled to the crop — no
+    detector pass needed on already-aligned data."""
+    import cv2
+    import numpy as np
+
+    from ghost_tpu.ops.umeyama import ARCFACE_TEMPLATE
+
+    kps = np.asarray(ARCFACE_TEMPLATE, np.float32) * (256.0 / 112.0)
+    for f in sorted(glob.glob(os.path.join(input_dir, "*.*g"))):
+        img = cv2.imread(f)
+        if img is None:
+            continue
+        img = cv2.resize(img[:, :, ::-1], (256, 256))
+        masks, _iou, _logits = pred.predict_points(
+            img, kps, np.ones(5), multimask_output=False)
+        base = os.path.splitext(os.path.basename(f))[0]
+        cv2.imwrite(os.path.join(output_dir, f"{base}.png"),
+                    (masks[0] * 255).astype(np.uint8))
 
 
 def main(argv=None):
@@ -39,6 +75,20 @@ def main(argv=None):
 
     args = build_parser().parse_args(argv)
     os.makedirs(args.output_dir, exist_ok=True)
+
+    if args.sam_path:
+        from ghost_tpu.convert.torch_loader import (convert_sam_state_dict,
+                                                    load_torch_checkpoint)
+        from ghost_tpu.models.sam import SamPredictor, build_sam
+
+        depth = {"vit_b": 12, "vit_l": 24, "vit_h": 32}[args.sam_preset]
+        model = build_sam(args.sam_preset)
+        variables = jax.tree.map(jnp.asarray, convert_sam_state_dict(
+            load_torch_checkpoint(args.sam_path), depth=depth))
+        sam_mask_loop(SamPredictor(model, variables),
+                      args.input_dir, args.output_dir)
+        print("done (SAM)")
+        return
 
     lmk = Landmark106()
     if args.landmark_path:

@@ -387,3 +387,29 @@ def test_sam_predictor_shapes():
     m3, i3, _ = pred.predict_points(img, kps, np.ones(5),
                                     multimask_output=True)
     assert m3.shape == (3, 96, 96) and i3.shape == (3,)
+
+
+def test_precompute_masks_sam_loop(tmp_path):
+    """cli/precompute_masks --sam_path loop over a crop dir: one mask
+    png per input, keypoint prompts at the scaled arcface template
+    (reference segment_anything_celeba.py:53-63)."""
+    cv2 = pytest.importorskip("cv2")
+    from ghost_tpu.cli.precompute_masks import sam_mask_loop
+
+    model = build_tiny_jax_sam()
+    variables = model.init(jax.random.key(0),
+                           jnp.zeros((1, IMG, IMG, 3)),
+                           jnp.zeros((1, 3, 2)), jnp.zeros((1, 3)))
+    pred = SamPredictor(model, variables)
+
+    src, dst = tmp_path / "crops", tmp_path / "masks"
+    src.mkdir(), dst.mkdir()
+    rng = np.random.default_rng(2)
+    for name in ("a.jpg", "b.png"):
+        cv2.imwrite(str(src / name),
+                    rng.integers(0, 255, (64, 64, 3), dtype=np.uint8))
+    sam_mask_loop(pred, str(src), str(dst))
+    for name in ("a.png", "b.png"):
+        m = cv2.imread(str(dst / name), cv2.IMREAD_GRAYSCALE)
+        assert m is not None and m.shape == (256, 256)
+        assert set(np.unique(m)) <= {0, 255}
