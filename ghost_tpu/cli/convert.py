@@ -31,7 +31,8 @@ def build_parser():
     p = argparse.ArgumentParser(description="ghost-tpu weight conversion")
     p.add_argument("--kind", required=True,
                    choices=["aei", "arcface", "discriminator", "spade",
-                            "scrfd", "landmark_mxnet", "vgg19"])
+                            "scrfd", "landmark_mxnet", "vgg19",
+                            "gfpgan", "rrdb", "srvgg", "sam"])
     p.add_argument("--src", required=True)
     p.add_argument("--out", required=True)
     p.add_argument("--backbone", default="unet",
@@ -42,6 +43,11 @@ def build_parser():
     p.add_argument("--num_D", default=3, type=int)
     p.add_argument("--n_layers", default=5, type=int)
     p.add_argument("--ngf", default=48, type=int)
+    p.add_argument("--num_conv", default=32, type=int,
+                   help="srvgg trunk convs (realesr-general-x4v3: 32)")
+    p.add_argument("--rrdb_blocks", default=23, type=int)
+    p.add_argument("--sam_preset", default="vit_h",
+                   choices=["vit_b", "vit_l", "vit_h"])
     return p
 
 
@@ -88,6 +94,16 @@ def main(argv=None):
             from ghost_tpu.models.sr.vgg import convert_vgg19_features
 
             tree = convert_vgg19_features(sd)
+        elif args.kind == "gfpgan":
+            tree = tl.convert_gfpgan_state_dict(sd)
+        elif args.kind == "rrdb":
+            tree = tl.convert_rrdbnet_state_dict(
+                sd, num_block=args.rrdb_blocks)
+        elif args.kind == "srvgg":
+            tree = tl.convert_srvgg_state_dict(sd, num_conv=args.num_conv)
+        elif args.kind == "sam":
+            depth = {"vit_b": 12, "vit_l": 24, "vit_h": 32}[args.sam_preset]
+            tree = tl.convert_sam_state_dict(sd, depth=depth)
         else:  # pragma: no cover
             raise SystemExit(args.kind)
 

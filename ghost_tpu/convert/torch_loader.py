@@ -500,6 +500,26 @@ def convert_rrdbnet_state_dict(
     return {"params": params}
 
 
+def convert_srvgg_state_dict(sd: Mapping[str, np.ndarray],
+                             num_conv: int = 32):
+    """SRVGGNetCompact checkpoints (realesr-general-x4v3.pth — the
+    reference's fast general upsampler, Dockerfile:65-68,
+    utils/training/upsampler.py:6). Official layout: a flat
+    `body.{idx}` ModuleList alternating conv (even idx) and PReLU
+    (odd idx), final conv at index 2*(num_conv+1); wrapped under
+    'params' or 'params_ema'."""
+    for wrapper in ("params_ema", "params"):
+        if wrapper in sd and isinstance(sd[wrapper], dict):
+            sd = sd[wrapper]
+            break
+    params: Dict = {}
+    for i in range(num_conv + 1):
+        params[f"conv_{i}"] = _conv_wb(sd, f"body.{2 * i}")
+        params[f"prelu_{i}"] = sd[f"body.{2 * i + 1}.weight"]
+    params["conv_last"] = _conv_wb(sd, f"body.{2 * (num_conv + 1)}")
+    return {"params": params}
+
+
 def convert_gfpgan_state_dict(
     sd: Mapping[str, np.ndarray],
     out_size: int = 512,

@@ -1,0 +1,72 @@
+"""SRVGGNetCompact — the realesr-general-x4v3 fast upsampler, TPU-native.
+
+The reference ships this weight alongside the RRDB background upsampler
+(reference Dockerfile:65-68, utils/training/upsampler.py:6 imports
+`realesrgan.archs.srvgg_arch.SRVGGNetCompact`). It is the "general"
+Real-ESRGAN model: a plain conv+PReLU VGG-style trunk at input
+resolution, a pixel-shuffle x`upscale` head, and a nearest-upsampled
+input skip. From-scratch NHWC flax implementation of that layer plan
+(public srvgg_arch.py); `convert_srvgg_state_dict`
+(convert/torch_loader.py) maps the official `body.N` checkpoint names
+so realesr-general-x4v3.pth loads unchanged.
+
+TPU notes: the whole trunk is dense 3x3 convs on the MXU at constant
+(num_feat) width — no concats, no norms; pixel-shuffle is a
+reshape/transpose (layout only); the nearest skip is a broadcast.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ghost_tpu.core.precision import DEFAULT_POLICY, Policy
+from ghost_tpu.nn.layers import Conv
+
+from .rrdb import nearest_up2
+
+
+def pixel_shuffle(x, factor: int):
+    """torch nn.PixelShuffle parity, NHWC: (B, H, W, C*f*f) ->
+    (B, H*f, W*f, C) where input channel c*f*f + dy*f + dx feeds
+    output channel c at spatial offset (dy, dx)."""
+    b, h, w, cff = x.shape
+    c = cff // (factor * factor)
+    x = x.reshape(b, h, w, c, factor, factor)
+    x = x.transpose(0, 1, 4, 2, 5, 3)
+    return x.reshape(b, h * factor, w * factor, c)
+
+
+def nearest_up(x, factor: int):
+    for _ in range(factor.bit_length() - 1):
+        x = nearest_up2(x)
+    return x
+
+
+class SRVGGNetCompact(nn.Module):
+    """realesr-general-x4v3 layout: body = [conv, act] + num_conv x
+    [conv, act] + [conv to out*upscale^2], then pixel-shuffle and add
+    the nearest-upsampled input."""
+
+    num_out_ch: int = 3
+    num_feat: int = 64
+    num_conv: int = 32
+    upscale: int = 4
+    policy: Policy = DEFAULT_POLICY
+
+    @nn.compact
+    def __call__(self, x):
+        cd = self.policy.compute_dtype
+        pd = self.policy.param_dtype
+        x = x.astype(cd)
+        out = x
+        for i in range(self.num_conv + 1):
+            out = Conv(self.num_feat, 3, padding=1, dtype=cd,
+                       param_dtype=pd, name=f"conv_{i}")(out)
+            alpha = self.param(f"prelu_{i}", nn.initializers.constant(0.25),
+                               (self.num_feat,), pd).astype(cd)
+            out = jnp.where(out >= 0, out, alpha * out)
+        out = Conv(self.num_out_ch * self.upscale ** 2, 3, padding=1,
+                   dtype=cd, param_dtype=pd, name="conv_last")(out)
+        out = pixel_shuffle(out, self.upscale)
+        return out + nearest_up(x, self.upscale)

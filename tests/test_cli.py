@@ -132,3 +132,41 @@ def test_convert_cli_scrfd(tmp_path):
                                                   np.asarray(b)).max()),
                         got, ref)
     assert max(jax.tree.leaves(diff)) == 0.0
+
+
+def test_convert_cli_srvgg(tmp_path):
+    """convert --kind srvgg: torch SRVGGNetCompact checkpoint (official
+    basicsr 'params' wrapper) -> msgpack that drives the native model."""
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    import jax
+    import jax.numpy as jnp
+
+    from ghost_tpu.cli.convert import main
+    from ghost_tpu.core.checkpoint import load_msgpack
+    from ghost_tpu.core.precision import FULL_PRECISION
+    from ghost_tpu.models.sr.srvgg import SRVGGNetCompact
+    from tests.test_enhancers import TorchSRVGG
+
+    torch.manual_seed(0)
+    nf, nc = 8, 2
+    tm = TorchSRVGG(3, 3, nf, nc, 4).eval()
+    ckpt = tmp_path / "srvgg.pth"
+    torch.save({"params": tm.state_dict()}, str(ckpt))
+
+    out = tmp_path / "srvgg.msgpack"
+    main(["--kind", "srvgg", "--src", str(ckpt), "--out", str(out),
+          "--num_conv", str(nc)])
+    variables = jax.tree.map(jnp.asarray, load_msgpack(str(out)))
+
+    model = SRVGGNetCompact(num_feat=nf, num_conv=nc, upscale=4,
+                            policy=FULL_PRECISION)
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-1, 1, (1, 8, 8, 3)).astype(np.float32)
+    y = model.apply(variables, jnp.asarray(x))
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    np.testing.assert_allclose(np.asarray(y),
+                               ref.numpy().transpose(0, 2, 3, 1),
+                               rtol=2e-4, atol=2e-4)

@@ -366,3 +366,67 @@ def test_face_enhancer_pipeline_runs():
                         det_thresh=2.0)
     out2 = enh2.enhance(frames)
     np.testing.assert_array_equal(out2, frames)
+
+
+# ---------------------------------------------------------------------------
+# SRVGGNetCompact (realesr-general-x4v3)
+# ---------------------------------------------------------------------------
+
+from ghost_tpu.convert.torch_loader import convert_srvgg_state_dict
+from ghost_tpu.models.sr.srvgg import SRVGGNetCompact, pixel_shuffle
+
+
+class TorchSRVGG(tnn.Module):
+    """realesrgan srvgg_arch.SRVGGNetCompact with the official `body`
+    ModuleList layout (conv/PReLU alternating, final conv last)."""
+
+    def __init__(self, in_ch, out_ch, nf, nc, upscale):
+        super().__init__()
+        self.upscale = upscale
+        body = [tnn.Conv2d(in_ch, nf, 3, 1, 1), tnn.PReLU(nf)]
+        for _ in range(nc):
+            body += [tnn.Conv2d(nf, nf, 3, 1, 1), tnn.PReLU(nf)]
+        body.append(tnn.Conv2d(nf, out_ch * upscale ** 2, 3, 1, 1))
+        self.body = tnn.ModuleList(body)
+
+    def forward(self, x):
+        out = x
+        for layer in self.body:
+            out = layer(out)
+        out = F.pixel_shuffle(out, self.upscale)
+        return out + F.interpolate(x, scale_factor=self.upscale,
+                                   mode="nearest")
+
+
+@pytest.mark.parametrize("upscale", [4, 2])
+def test_srvgg_torch_golden(upscale):
+    torch.manual_seed(0)
+    nf, nc = 8, 3
+    tm = TorchSRVGG(3, 3, nf, nc, upscale).eval()
+    # break the symmetric PReLU init so the test exercises real slopes
+    with torch.no_grad():
+        for m in tm.body:
+            if isinstance(m, tnn.PReLU):
+                m.weight.uniform_(0.05, 0.5)
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    variables = convert_srvgg_state_dict(sd, num_conv=nc)
+
+    model = SRVGGNetCompact(num_feat=nf, num_conv=nc, upscale=upscale,
+                            policy=FULL_PRECISION)
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-1, 1, (2, 12, 12, 3)).astype(np.float32)
+    out = jax.jit(model.apply)(variables, jnp.asarray(x))
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    ref = ref.numpy().transpose(0, 2, 3, 1)
+    assert out.shape == ref.shape == (2, 12 * upscale, 12 * upscale, 3)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)
+
+
+def test_pixel_shuffle_roundtrip():
+    from ghost_tpu.models.sr.rrdb import pixel_unshuffle
+
+    rng = np.random.default_rng(1)
+    x = rng.normal(0, 1, (2, 6, 8, 5)).astype(np.float32)
+    y = pixel_shuffle(pixel_unshuffle(jnp.asarray(x), 2), 2)
+    np.testing.assert_array_equal(np.asarray(y), x)
