@@ -77,14 +77,21 @@ def main(argv=None):
     os.makedirs(args.output_dir, exist_ok=True)
 
     if args.sam_path:
-        from ghost_tpu.convert.torch_loader import (convert_sam_state_dict,
-                                                    load_torch_checkpoint)
         from ghost_tpu.models.sam import SamPredictor, build_sam
 
-        depth = {"vit_b": 12, "vit_l": 24, "vit_h": 32}[args.sam_preset]
         model = build_sam(args.sam_preset)
-        variables = jax.tree.map(jnp.asarray, convert_sam_state_dict(
-            load_torch_checkpoint(args.sam_path), depth=depth))
+        if args.sam_path.endswith(".msgpack"):
+            from ghost_tpu.core.checkpoint import load_msgpack
+
+            tree = load_msgpack(args.sam_path)
+        else:
+            from ghost_tpu.convert.torch_loader import (
+                convert_sam_state_dict, load_torch_checkpoint)
+
+            depth = {"vit_b": 12, "vit_l": 24, "vit_h": 32}[args.sam_preset]
+            tree = convert_sam_state_dict(
+                load_torch_checkpoint(args.sam_path), depth=depth)
+        variables = jax.tree.map(jnp.asarray, tree)
         sam_mask_loop(SamPredictor(model, variables),
                       args.input_dir, args.output_dir)
         print("done (SAM)")
