@@ -175,7 +175,14 @@ def load_pipeline(args):
     arc_layers = (1, 1, 1, 1) if args.arcface_depth == "tiny" \
         else _DEPTHS[args.arcface_depth]
     arc = IResNet(layers=arc_layers, policy=policy)
-    if os.path.exists(args.arcface_path) and args.arcface_depth != "tiny":
+    if args.arcface_path.endswith(".onnx"):
+        # insightface recognition pack (glintr100.onnx), executed
+        # natively via the ONNX executor; weights ride as jit args
+        from ghost_tpu.models.arcface_onnx import ArcFaceOnnx
+
+        arc = ArcFaceOnnx(args.arcface_path)
+        arc_vars = jax.tree.map(jnp.asarray, arc.variables)
+    elif os.path.exists(args.arcface_path) and args.arcface_depth != "tiny":
         arc_vars = jax.tree.map(
             jnp.asarray,
             convert_arcface_state_dict(load_torch_checkpoint(args.arcface_path),
