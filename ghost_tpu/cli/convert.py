@@ -32,7 +32,7 @@ def build_parser():
     p.add_argument("--kind", required=True,
                    choices=["aei", "arcface", "discriminator", "spade",
                             "scrfd", "landmark_mxnet", "vgg19",
-                            "gfpgan", "rrdb", "srvgg", "sam"])
+                            "gfpgan", "rrdb", "srvgg", "sam", "fan"])
     p.add_argument("--src", required=True)
     p.add_argument("--out", required=True)
     p.add_argument("--backbone", default="unet",
@@ -104,6 +104,8 @@ def main(argv=None):
         elif args.kind == "sam":
             depth = {"vit_b": 12, "vit_l": 24, "vit_h": 32}[args.sam_preset]
             tree = tl.convert_sam_state_dict(sd, depth=depth)
+        elif args.kind == "fan":
+            tree = tl.convert_fan_awl_state_dict(sd)
         else:  # pragma: no cover
             raise SystemExit(args.kind)
 
