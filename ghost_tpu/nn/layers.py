@@ -40,6 +40,15 @@ from jax import lax
 # lowering — lets A/B profiling scripts flip lowerings between jits
 CONV1X1_EINSUM = True
 
+# toggle for the width-packed 3x3 lowering at narrow channel counts
+# (see _Conv3x3WPack). Default OFF: the isolated chained win (1.55x at
+# blk8's 64ch@256^2 shape, scripts/profile_wpack.py) does NOT survive
+# inside the full generator program (same-process A/B 127.6 vs
+# 128.7-131.6 ms, scripts/profile_wpack_gen.py) — XLA's fusion of the
+# surrounding AAD elementwise work already hides the half-empty-lane
+# cost the isolated measurement exposes.
+CONV3X3_WPACK = False
+
 
 class _Conv1x1Einsum(nn.Module):
     """1x1 conv lowered as a channel einsum (plain MXU matmul).
@@ -63,6 +72,67 @@ class _Conv1x1Einsum(nn.Module):
             (1, 1, cin, self.features), self.param_dtype)
         y = jnp.einsum("bhwc,cd->bhwd", x.astype(self.dtype),
                        kernel[0, 0].astype(self.dtype))
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), self.param_dtype)
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+class _Conv3x3WPack(nn.Module):
+    """3x3 stride-1 'same' conv lowered over a width-packed layout.
+
+    At C<=64 the 128-wide vector lanes run half empty and the conv sits
+    4-8x off the HBM roof (measured: 64ch@256^2 ~9 ms/op chained vs
+    2.8 ms for the equal-FLOP 128ch@128^2, scripts/profile_wpack.py).
+    Packing width phases into channels — X[b,i,jp,ph*C+c] =
+    x[b,i,2jp+ph,c], a pure reshape — turns the op into an EXACT conv3x3
+    over (B,H,W/2,2C) with a packed kernel assembled from the same
+    (3,3,cin,cout) parameter at trace time:
+
+      y[2j]   = k0·X1[j-1] + k1·X0[j] + k2·X1[j]   (out block 0)
+      y[2j+1] = k0·X0[j]   + k1·X1[j] + k2·X0[j+1] (out block 1)
+
+    2x the MACs (half the packed kernel is structurally zero) but full
+    lanes: measured 1.55x faster at blk8's shape in isolation (5.8 vs
+    9.0 ms/op chained, same process) yet NEUTRAL inside the full AEI
+    forward (see CONV3X3_WPACK above) — kept OFF by default as a
+    documented negative result. Param tree identical to nn.Conv, so
+    converters and checkpoints are unaffected; autodiff flows through
+    the assembly, so the lowering is train-safe.
+    """
+
+    features: int
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, cin = x.shape
+        cout = self.features
+        kernel = self.param(
+            "kernel", nn.initializers.xavier_normal(),
+            (3, 3, cin, self.features), self.param_dtype)
+        k = kernel.astype(self.dtype)
+        z = jnp.zeros_like(k[:, 0])  # (3, cin, cout)
+
+        def blk(i0o0, i0o1, i1o0, i1o1):
+            return jnp.concatenate(
+                [jnp.concatenate([i0o0, i0o1], -1),
+                 jnp.concatenate([i1o0, i1o1], -1)], -2)
+
+        kp = jnp.stack([
+            blk(z, z, k[:, 0], z),                       # packed w-offset -1
+            blk(k[:, 1], k[:, 0], k[:, 2], k[:, 1]),     # packed w-offset 0
+            blk(z, k[:, 2], z, z),                       # packed w-offset +1
+        ], axis=1)  # (3, 3, 2cin, 2cout)
+
+        xp = x.astype(self.dtype).reshape(b, h, w // 2, 2 * cin)
+        y = lax.conv_general_dilated(
+            xp, kp, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        y = y.reshape(b, h, w, cout)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros,
                               (self.features,), self.param_dtype)
@@ -98,6 +168,13 @@ class Conv(nn.Module):
         if (CONV1X1_EINSUM and ks == (1, 1) and st == (1, 1) and pd == (0, 0)
                 and self.feature_group_count == 1 and x.ndim == 4):
             return _Conv1x1Einsum(
+                self.features, self.use_bias, self.dtype, self.param_dtype,
+                name="Conv_0")(x)
+        if (CONV3X3_WPACK and ks == (3, 3) and st == (1, 1) and pd == (1, 1)
+                and self.feature_group_count == 1 and x.ndim == 4
+                and 8 <= x.shape[-1] <= 64 and x.shape[2] % 2 == 0
+                and x.shape[2] >= 256):
+            return _Conv3x3WPack(
                 self.features, self.use_bias, self.dtype, self.param_dtype,
                 name="Conv_0")(x)
         return nn.Conv(

@@ -1,0 +1,67 @@
+"""TPU throughput of the native enhancer pass (pipeline/enhance.py):
+GFPGAN-512 face restore (+ optional RRDB x4 background) over 1080p
+frames — the reference's `upsample()` post-pass, which it runs
+per-frame through two torch packages on GPU (utils/training/
+upsampler.py:92-106).
+
+Chained iterations + data-dependent checksum (relay methodology).
+Random weights; throughput is weight-independent.
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_enhance.py
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/ghost_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    import jax.numpy as jnp
+
+    from ghost_tpu.core.precision import DEFAULT_POLICY
+    from ghost_tpu.models.scrfd import SCRFD
+    from ghost_tpu.models.sr.gfpgan import GFPGANClean
+    from ghost_tpu.models.sr.rrdb import RRDBNet
+    from ghost_tpu.pipeline.enhance import FaceEnhancer
+
+    B = 8
+    rng = np.random.default_rng(0)
+    key = jax.random.key(0)
+
+    det = SCRFD(policy=DEFAULT_POLICY)
+    det_vars = det.init(key, jnp.zeros((1, 640, 640, 3)))
+    gfp = GFPGANClean(policy=DEFAULT_POLICY)
+    gfp_vars = gfp.init(key, jnp.zeros((1, 512, 512, 3)))
+    bg = RRDBNet(num_block=23, policy=DEFAULT_POLICY)
+    bg_vars = bg.init(key, jnp.zeros((1, 64, 64, 3)))
+
+    frames = rng.integers(0, 255, (B, 1080, 1920, 3), dtype=np.uint8)
+
+    checksum = jax.jit(lambda x: jnp.sum(x.astype(jnp.float32)))
+
+    for mode, bg_pair in (("face", None), ("full", (bg, bg_vars))):
+        enh = FaceEnhancer((det, det_vars), (gfp, gfp_vars), bg=bg_pair,
+                           max_faces=4)
+        cur = jnp.asarray(frames)
+        t0 = time.time()
+        out = enh._enhance_j(enh._vars, cur, use_bg=bg_pair is not None)
+        float(checksum(out))
+        print(f"{mode}: first dispatch {time.time() - t0:.1f}s", flush=True)
+        iters = 4
+        t0 = time.time()
+        for _ in range(iters):
+            cur = enh._enhance_j(enh._vars, cur, use_bg=bg_pair is not None)
+        _ = float(checksum(cur))
+        dt = time.time() - t0
+        print(f"enhance[{mode}] chunk {B}: {iters * B / dt:.1f} fps/chip",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()
