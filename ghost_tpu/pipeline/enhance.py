@@ -11,26 +11,37 @@ ONE jitted program per chunk:
   512 crops -> GFPGANClean -> soft-mask paste-back, over an optional
   RRDBNet-upsampled base frame.
 
+Crop extraction and paste-back use the similarity-decomposed MXU paths
+(ops/warp.warp_affine_similarity / warp_and_blend_similarity) — the
+gather-based full-frame warps dominated the first implementation
+(measured 2.9 fps/chip at chunk 8; the 4-tap gathers over B*faces
+full frames cost ~0.3 s each way at ~10 ns/tap).
+
+The background upsampler runs TILED (RealESRGANer `tile`/`tile_pad`
+parity, the reference's own answer to big inputs): RRDB x4 on a full
+1080p chunk needs a ~34 GB intermediate, far beyond HBM. Tiles are
+processed under `lax.map` with a zero-padded halo; like the upstream
+tile mode, seams are not bit-identical to the (un-runnable) full-frame
+pass but agree inside the halo's receptive-field reach.
+
 Fixed-capacity face lanes (max_faces, presence-masked) keep shapes
 static under jit, matching the swap pipeline's design. Output stays at
 input resolution (the upstream helper returns up_by-scaled frames;
-resolution-preserving enhancement is the serving-relevant case — pass
-the RRDB output through unresized if the x4 canvas is wanted).
+resolution-preserving enhancement is the serving-relevant case).
 """
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional, Tuple
+import numpy as np
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ghost_tpu.models.scrfd import decode_detections, preprocess_frames
 from ghost_tpu.nn.layers import resize
 from ghost_tpu.ops.umeyama import umeyama_similarity
-from ghost_tpu.ops.warp import warp_affine, warp_and_blend
+from ghost_tpu.ops.warp import (warp_affine_similarity,
+                                warp_and_blend_similarity)
 
 # facexlib FaceRestoreHelper's canonical 5-point template for a
 # 512x512 FFHQ-aligned face crop (public constants; the reference's
@@ -53,6 +64,18 @@ def _soft_border_mask(size: int, border_frac: float = 0.1):
     return jnp.asarray((prof[:, None] * prof[None, :])[None, :, :, None])
 
 
+def upscale_tiled(mod, variables, frames01, scale: int = 4,
+                  tile: int | tuple[int, int] = 256, tile_pad: int = 10):
+    """RealESRGANer.tile_process parity: split (B,H,W,C) into
+    tile_h x tile_w pieces with a `tile_pad` halo, upsample each
+    through `mod`, and stitch the x`scale` outputs. H/W must divide by
+    the tile dims (270x240 covers 1080p). Tiles run sequentially under
+    lax.map so peak memory is one tile's activations."""
+    th, tw = (tile, tile) if isinstance(tile, int) else tile
+    return _tiled_rect(mod, variables, frames01, th, tw, tile_pad,
+                       scale=scale)
+
+
 class FaceEnhancer:
     """GFPGAN face restoration (+ optional RRDB background) as one
     jitted chunk program. All model variables ride as jit arguments
@@ -60,7 +83,8 @@ class FaceEnhancer:
 
     def __init__(self, det, gfpgan, bg=None, det_size: int = 640,
                  det_thresh: float = 0.5, max_faces: int = 4,
-                 crop_size: int = 512):
+                 crop_size: int = 512, bg_tile: tuple[int, int] = (270, 240),
+                 bg_tile_pad: int = 10):
         self.det_mod, det_vars = det
         self.gfp_mod, gfp_vars = gfpgan
         self.bg_mod, bg_vars = bg if bg is not None else (None, None)
@@ -68,10 +92,27 @@ class FaceEnhancer:
         self.det_thresh = det_thresh
         self.max_faces = max_faces
         self.crop_size = crop_size
+        self.bg_tile = bg_tile
+        self.bg_tile_pad = bg_tile_pad
         self._vars = {"det": det_vars, "gfp": gfp_vars, "bg": bg_vars}
         self._mask = _soft_border_mask(crop_size)
+        # paste-back rotation window must cover the rotated 512 crop
+        self._blend_grid = int(np.ceil(crop_size * np.sqrt(2) / 32.0)) * 32
         self._enhance_j = jax.jit(self._enhance_impl,
                                   static_argnames=("use_bg",))
+
+    def _bg_base(self, variables, frames_u8, h, w):
+        """Resolution-preserving background cleanup: tiled RRDB x4,
+        then area-resize back (the x4 canvas case returns the stitched
+        tiles unresized)."""
+        x01 = frames_u8.astype(jnp.float32) / 255.0
+        th, tw = self.bg_tile
+        pad = self.bg_tile_pad
+        if h % th or w % tw:  # fall back to one whole-frame tile
+            th, tw, pad = h, w, 0
+        up = _tiled_rect(self.bg_mod, variables["bg"], x01, th, tw, pad)
+        up = jnp.clip(up.astype(jnp.float32), 0.0, 1.0) * 255.0
+        return resize(up, (h, w), method="area")
 
     def _enhance_impl(self, variables, frames_u8, use_bg: bool):
         b, h, w, _ = frames_u8.shape
@@ -88,32 +129,31 @@ class FaceEnhancer:
             kps.reshape(b * f, 5, 2),
             jnp.broadcast_to(template, (b * f, 5, 2)))  # frame->crop
 
-        rep = jnp.repeat(frames_u8.astype(jnp.float32), f, axis=0)
-        crops = warp_affine(rep, m, (self.crop_size, self.crop_size))
+        # similarity-decomposed crop: MXU tent matmuls + small-table
+        # rotation resample; frame-major (B*F) rows like repeat would be
+        crops = warp_affine_similarity(
+            frames_u8.astype(jnp.float32), m.reshape(b, f, 2, 3),
+            self.crop_size, subpix=2)
         x = crops / 127.5 - 1.0
         restored, _ = self.gfp_mod.apply(variables["gfp"], x)
         restored = jnp.clip(restored.astype(jnp.float32), -1.0, 1.0)
         restored = (restored + 1.0) * 127.5
 
         if use_bg:
-            # RRDB x4 then area-resize back: resolution-preserving
-            # background cleanup (the x4 canvas case returns `up`)
-            up = self.bg_mod.apply(
-                variables["bg"], frames_u8.astype(jnp.float32) / 255.0)
-            up = jnp.clip(up.astype(jnp.float32), 0.0, 1.0) * 255.0
-            base = resize(up, (h, w), method="area")
+            base = self._bg_base(variables, frames_u8, h, w)
         else:
             base = frames_u8.astype(jnp.float32)
 
         present = scores > 0  # (B,F)
         mask = jnp.broadcast_to(
             self._mask, (b, self.crop_size, self.crop_size, 1))
+        mf = m.reshape(b, f, 2, 3)
         for lane in range(f):
-            # repeat layout: row (b, lane) lives at index b*f + lane
-            base = warp_and_blend(
-                base, restored[lane::f], mask,
-                m.reshape(b, f, 2, 3)[:, lane],
-                present=present[:, lane])
+            # frame-major layout: row (b, lane) lives at index b*f + lane
+            base = warp_and_blend_similarity(
+                base, restored[lane::f], mask, mf[:, lane],
+                present=present[:, lane], grid=self._blend_grid,
+                rot_subpix=2)
         return jnp.clip(base, 0.0, 255.0).astype(jnp.uint8)
 
     def enhance(self, frames_rgb_u8: np.ndarray) -> np.ndarray:
@@ -122,3 +162,37 @@ class FaceEnhancer:
         out = self._enhance_j(self._vars, frames,
                               use_bg=self.bg_mod is not None)
         return np.asarray(out)
+
+
+def _tiled_rect(mod, variables, frames01, th: int, tw: int, pad: int,
+                scale: int = 4):
+    """Rectangular-tile variant of `upscale_tiled` (th x tw tiles).
+
+    Halos CLAMP to the image bounds like RealESRGANer.tile_process
+    (input_start_x_pad = max(..., 0) / min(..., w)), so frame borders
+    see the model's own conv padding exactly as the full-frame pass
+    would — the only deviation from full-frame is interior seam
+    content beyond the halo's receptive-field reach. Static-size
+    slices with dynamic offsets keep the program XLA-shaped."""
+    b, h, w, c = frames01.shape
+    assert h % th == 0 and w % tw == 0, (h, w, th, tw)
+    assert th + 2 * pad <= h and tw + 2 * pad <= w, (th, tw, pad)
+    ny, nx = h // th, w // tw
+    starts = jnp.asarray([(iy * th, ix * tw)
+                          for iy in range(ny) for ix in range(nx)],
+                         jnp.int32)
+
+    def one(start):
+        sy = jnp.clip(start[0] - pad, 0, h - (th + 2 * pad))
+        sx = jnp.clip(start[1] - pad, 0, w - (tw + 2 * pad))
+        patch = jax.lax.dynamic_slice(
+            frames01, (0, sy, sx, 0), (b, th + 2 * pad, tw + 2 * pad, c))
+        up = mod.apply(variables, patch)
+        return jax.lax.dynamic_slice(
+            up, (0, (start[0] - sy) * scale, (start[1] - sx) * scale, 0),
+            (b, th * scale, tw * scale, c))
+
+    tiles = jax.lax.map(one, starts)  # (ny*nx, B, th*s, tw*s, C)
+    tiles = tiles.reshape(ny, nx, b, th * scale, tw * scale, c)
+    return tiles.transpose(2, 0, 3, 1, 4, 5).reshape(
+        b, ny * th * scale, nx * tw * scale, c)

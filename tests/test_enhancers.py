@@ -430,3 +430,50 @@ def test_pixel_shuffle_roundtrip():
     x = rng.normal(0, 1, (2, 6, 8, 5)).astype(np.float32)
     y = pixel_shuffle(pixel_unshuffle(jnp.asarray(x), 2), 2)
     np.testing.assert_array_equal(np.asarray(y), x)
+
+
+# ---------------------------------------------------------------------------
+# Tiled background upsampling (RealESRGANer tile/tile_pad parity)
+# ---------------------------------------------------------------------------
+
+
+def test_upscale_tiled_single_tile_exact():
+    """One tile with pad=0 IS the plain forward — stitching is exact."""
+    from ghost_tpu.models.sr.rrdb import RRDBNet as JRRDB
+    from ghost_tpu.pipeline.enhance import upscale_tiled
+
+    key = jax.random.key(1)
+    bg = JRRDB(num_feat=8, num_block=1, num_grow_ch=4, scale=4)
+    x = jnp.asarray(np.random.default_rng(0).uniform(
+        0, 1, (2, 16, 24, 3)).astype(np.float32))
+    v = bg.init(key, x)
+    direct = bg.apply(v, x)
+    tiled = upscale_tiled(bg, v, x, tile=(16, 24), tile_pad=0)
+    np.testing.assert_allclose(np.asarray(tiled), np.asarray(direct),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_upscale_tiled_halo_converges_to_full_frame():
+    """2x2 tile grid stitches to the full x4 canvas; halos clamp to
+    the image bounds (RealESRGANer parity), so as the halo grows past
+    the receptive field the tiled output converges to the full-frame
+    pass EVERYWHERE — at pad=8 (tile 16 on a 32px frame the halo spans
+    the whole image) the two must match exactly."""
+    from ghost_tpu.models.sr.rrdb import RRDBNet as JRRDB
+    from ghost_tpu.pipeline.enhance import upscale_tiled
+
+    key = jax.random.key(2)
+    bg = JRRDB(num_feat=8, num_block=1, num_grow_ch=4, scale=4)
+    x = jnp.asarray(np.random.default_rng(1).uniform(
+        0, 1, (1, 32, 32, 3)).astype(np.float32))
+    v = bg.init(key, x)
+    full = np.asarray(bg.apply(v, x))
+    prev = None
+    for pad in (2, 4, 8):
+        tiled = np.asarray(upscale_tiled(bg, v, x, tile=16, tile_pad=pad))
+        assert tiled.shape == full.shape == (1, 128, 128, 3)
+        err = float(np.abs(tiled - full).max())
+        if prev is not None:
+            assert err <= prev + 1e-6, (pad, err, prev)
+        prev = err
+    np.testing.assert_allclose(tiled, full, rtol=1e-5, atol=1e-5)
