@@ -110,9 +110,12 @@ class FaceEnhancer:
         pad = self.bg_tile_pad
         if h % th or w % tw:  # fall back to one whole-frame tile
             th, tw, pad = h, w, 0
-        up = _tiled_rect(self.bg_mod, variables["bg"], x01, th, tw, pad)
-        up = jnp.clip(up.astype(jnp.float32), 0.0, 1.0) * 255.0
-        return resize(up, (h, w), method="area")
+        # fold the x4->x1 area resize into each tile: the 4x4 box
+        # average is tile-aligned, so per-tile downscale + stitch is
+        # EXACT vs stitching the (un-storable) x4 canvas then resizing
+        up = _tiled_rect(self.bg_mod, variables["bg"], x01, th, tw, pad,
+                         downscale=True)
+        return jnp.clip(up.astype(jnp.float32), 0.0, 1.0) * 255.0
 
     def _enhance_impl(self, variables, frames_u8, use_bg: bool):
         b, h, w, _ = frames_u8.shape
@@ -165,7 +168,7 @@ class FaceEnhancer:
 
 
 def _tiled_rect(mod, variables, frames01, th: int, tw: int, pad: int,
-                scale: int = 4):
+                scale: int = 4, downscale: bool = False):
     """Rectangular-tile variant of `upscale_tiled` (th x tw tiles).
 
     Halos CLAMP to the image bounds like RealESRGANer.tile_process
@@ -188,11 +191,14 @@ def _tiled_rect(mod, variables, frames01, th: int, tw: int, pad: int,
         patch = jax.lax.dynamic_slice(
             frames01, (0, sy, sx, 0), (b, th + 2 * pad, tw + 2 * pad, c))
         up = mod.apply(variables, patch)
-        return jax.lax.dynamic_slice(
+        out = jax.lax.dynamic_slice(
             up, (0, (start[0] - sy) * scale, (start[1] - sx) * scale, 0),
             (b, th * scale, tw * scale, c))
+        if downscale:
+            out = resize(out.astype(jnp.float32), (th, tw), method="area")
+        return out
 
-    tiles = jax.lax.map(one, starts)  # (ny*nx, B, th*s, tw*s, C)
-    tiles = tiles.reshape(ny, nx, b, th * scale, tw * scale, c)
-    return tiles.transpose(2, 0, 3, 1, 4, 5).reshape(
-        b, ny * th * scale, nx * tw * scale, c)
+    oh, ow = (th, tw) if downscale else (th * scale, tw * scale)
+    tiles = jax.lax.map(one, starts)  # (ny*nx, B, oh, ow, C)
+    tiles = tiles.reshape(ny, nx, b, oh, ow, c)
+    return tiles.transpose(2, 0, 3, 1, 4, 5).reshape(b, ny * oh, nx * ow, c)

@@ -477,3 +477,23 @@ def test_upscale_tiled_halo_converges_to_full_frame():
             assert err <= prev + 1e-6, (pad, err, prev)
         prev = err
     np.testing.assert_allclose(tiled, full, rtol=1e-5, atol=1e-5)
+
+
+def test_tiled_downscale_folding_exact():
+    """Per-tile x4 -> area x1 downscale + stitch equals stitching the
+    full x4 canvas then area-resizing (the 4x4 box average is
+    tile-aligned)."""
+    from ghost_tpu.models.sr.rrdb import RRDBNet as JRRDB
+    from ghost_tpu.nn.layers import resize
+    from ghost_tpu.pipeline.enhance import _tiled_rect
+
+    key = jax.random.key(3)
+    bg = JRRDB(num_feat=8, num_block=1, num_grow_ch=4, scale=4)
+    x = jnp.asarray(np.random.default_rng(2).uniform(
+        0, 1, (1, 32, 32, 3)).astype(np.float32))
+    v = bg.init(key, x)
+    big = _tiled_rect(bg, v, x, 16, 16, 4)
+    ref = np.asarray(resize(big.astype(jnp.float32), (32, 32),
+                            method="area"))
+    got = np.asarray(_tiled_rect(bg, v, x, 16, 16, 4, downscale=True))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
