@@ -133,10 +133,14 @@ class FaceEnhancer:
             jnp.broadcast_to(template, (b * f, 5, 2)))  # frame->crop
 
         # similarity-decomposed crop: MXU tent matmuls + small-table
-        # rotation resample; frame-major (B*F) rows like repeat would be
+        # rotation resample; frame-major (B*F) rows like repeat would
+        # be. NEAREST taps from the subpix-3 oversampled grid: the
+        # rotation gathers are tap-count-bound (~10 ns/tap), and one
+        # tap at 1/6 px quantization beats four bilinear taps at equal
+        # accuracy — the swap pipeline's production setting
         crops = warp_affine_similarity(
             frames_u8.astype(jnp.float32), m.reshape(b, f, 2, 3),
-            self.crop_size, subpix=2)
+            self.crop_size, subpix=3, interp="nearest")
         x = crops / 127.5 - 1.0
         restored, _ = self.gfp_mod.apply(variables["gfp"], x)
         restored = jnp.clip(restored.astype(jnp.float32), -1.0, 1.0)
@@ -156,7 +160,7 @@ class FaceEnhancer:
             base = warp_and_blend_similarity(
                 base, restored[lane::f], mask, mf[:, lane],
                 present=present[:, lane], grid=self._blend_grid,
-                rot_subpix=2)
+                rot_subpix=2, rot_interp="nearest")
         return jnp.clip(base, 0.0, 255.0).astype(jnp.uint8)
 
     def enhance(self, frames_rgb_u8: np.ndarray) -> np.ndarray:
