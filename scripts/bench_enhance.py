@@ -40,12 +40,20 @@ def main():
     gfp_vars = gfp.init(key, jnp.zeros((1, 512, 512, 3)))
     bg = RRDBNet(num_block=23, policy=DEFAULT_POLICY)
     bg_vars = bg.init(key, jnp.zeros((1, 64, 64, 3)))
+    from ghost_tpu.models.sr.srvgg import SRVGGNetCompact
+    fast = SRVGGNetCompact(policy=DEFAULT_POLICY)
+    fast_vars = fast.init(key, jnp.zeros((1, 64, 64, 3)))
 
     frames = rng.integers(0, 255, (B, 1080, 1920, 3), dtype=np.uint8)
 
     checksum = jax.jit(lambda x: jnp.sum(x.astype(jnp.float32)))
 
-    for mode, bg_pair in (("face", None), ("full", (bg, bg_vars))):
+    # face: GFPGAN-only; full-srvgg: + realesr-general-x4v3 background
+    # (~2.4 MFLOP/px, the serving-relevant full-frame mode); full-rrdb:
+    # + RealESRGAN_x4plus (~33 MFLOP/px — roofline ~1.4 fps/chip at
+    # 1080p; the reference's GPU path has the same wall)
+    for mode, bg_pair in (("face", None), ("full-srvgg", (fast, fast_vars)),
+                          ("full-rrdb", (bg, bg_vars))):
         enh = FaceEnhancer((det, det_vars), (gfp, gfp_vars), bg=bg_pair,
                            max_faces=4)
         cur = jnp.asarray(frames)
@@ -53,7 +61,7 @@ def main():
         out = enh._enhance_j(enh._vars, cur, use_bg=bg_pair is not None)
         float(checksum(out))
         print(f"{mode}: first dispatch {time.time() - t0:.1f}s", flush=True)
-        iters = 4
+        iters = 2 if mode == "full-rrdb" else 4
         t0 = time.time()
         for _ in range(iters):
             cur = enh._enhance_j(enh._vars, cur, use_bg=bg_pair is not None)

@@ -368,6 +368,31 @@ def test_face_enhancer_pipeline_runs():
     np.testing.assert_array_equal(out2, frames)
 
 
+def test_face_enhancer_srvgg_background():
+    """FaceEnhancer is bg-model-agnostic: the fast SRVGGNetCompact
+    (realesr-general-x4v3, the reference Dockerfile's lightweight
+    upsampler) slots into the background seat (`--bg_model srvgg`)."""
+    from ghost_tpu.models.scrfd import SCRFD
+    from ghost_tpu.models.sr.srvgg import SRVGGNetCompact as JSRVGG
+    from ghost_tpu.pipeline.enhance import FaceEnhancer
+
+    key = jax.random.key(0)
+    det = SCRFD()
+    det_vars = det.init(key, jnp.zeros((1, 128, 128, 3)))
+    gfp = GFPGANClean(out_size=64, num_style_feat=32, channel_multiplier=2,
+                      num_mlp=2, narrow=0.25)
+    gfp_vars = gfp.init(key, jnp.zeros((1, 64, 64, 3)))
+    bg = JSRVGG(num_feat=8, num_conv=2, upscale=4)
+    bg_vars = bg.init(key, jnp.zeros((1, 16, 16, 3)))
+
+    enh = FaceEnhancer((det, det_vars), (gfp, gfp_vars), (bg, bg_vars),
+                       det_size=128, max_faces=2, crop_size=64)
+    rng = np.random.default_rng(1)
+    frames = rng.integers(0, 255, (2, 96, 128, 3), dtype=np.uint8)
+    out = enh.enhance(frames)
+    assert out.shape == frames.shape and out.dtype == np.uint8
+
+
 # ---------------------------------------------------------------------------
 # SRVGGNetCompact (realesr-general-x4v3)
 # ---------------------------------------------------------------------------
