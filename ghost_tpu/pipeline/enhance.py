@@ -25,8 +25,12 @@ tile mode, seams are not bit-identical to the (un-runnable) full-frame
 pass but agree inside the halo's receptive-field reach.
 
 Fixed-capacity face lanes (max_faces, presence-masked) keep shapes
-static under jit, matching the swap pipeline's design. Output stays at
-input resolution (the upstream helper returns up_by-scaled frames;
+static under jit, matching the swap pipeline's design — but the crop
+warp, GFPGAN forward, and paste-back run per lane under `lax.map` with
+a scalar `lax.cond` presence gate, so lanes with no detection anywhere
+in the chunk are SKIPPED at runtime (static shapes, dynamic work):
+1-face video pays for 1 lane, not max_faces. Output stays at input
+resolution (the upstream helper returns up_by-scaled frames;
 resolution-preserving enhancement is the serving-relevant case).
 """
 
@@ -131,36 +135,57 @@ class FaceEnhancer:
         m = umeyama_similarity(
             kps.reshape(b * f, 5, 2),
             jnp.broadcast_to(template, (b * f, 5, 2)))  # frame->crop
+        mf = m.reshape(b, f, 2, 3)
+        present = scores > 0  # (B,F)
+        framesf = frames_u8.astype(jnp.float32)
+        s = self.crop_size
 
-        # similarity-decomposed crop: MXU tent matmuls + small-table
-        # rotation resample; frame-major (B*F) rows like repeat would
-        # be. NEAREST taps from the subpix-3 oversampled grid: the
-        # rotation gathers are tap-count-bound (~10 ns/tap), and one
-        # tap at 1/6 px quantization beats four bilinear taps at equal
-        # accuracy — the swap pipeline's production setting
-        crops = warp_affine_similarity(
-            frames_u8.astype(jnp.float32), m.reshape(b, f, 2, 3),
-            self.crop_size, subpix=3, interp="nearest")
-        x = crops / 127.5 - 1.0
-        restored, _ = self.gfp_mod.apply(variables["gfp"], x)
-        restored = jnp.clip(restored.astype(jnp.float32), -1.0, 1.0)
-        restored = (restored + 1.0) * 127.5
+        # Per-LANE crop + restore under lax.map: lanes are score-sorted
+        # (scrfd.decode_detections), so lane k fires only on frames
+        # with >= k+1 faces. A scalar lax.cond per lane SKIPS the crop
+        # warp and the GFPGAN forward for lanes absent across the whole
+        # chunk — the typical 1-face video pays for 1 of max_faces
+        # lanes instead of all of them. The crop itself is the
+        # similarity-decomposed MXU path: tent matmuls + single-tap
+        # NEAREST rotation resample from the subpix-3 oversampled grid
+        # (rotation gathers are tap-count-bound at ~10 ns/tap — the
+        # swap pipeline's production setting).
+        def one_lane(args):
+            m_lane, pres = args  # (B,2,3), (B,)
+
+            def run(_):
+                crop = warp_affine_similarity(
+                    framesf, m_lane[:, None], s, subpix=3,
+                    interp="nearest")  # (B,s,s,3)
+                x = crop / 127.5 - 1.0
+                r, _ = self.gfp_mod.apply(variables["gfp"], x)
+                r = jnp.clip(r.astype(jnp.float32), -1.0, 1.0)
+                return (r + 1.0) * 127.5
+
+            return jax.lax.cond(
+                jnp.any(pres), run,
+                lambda _: jnp.zeros((b, s, s, 3), jnp.float32), 0)
+
+        restored_l = jax.lax.map(
+            one_lane, (mf.transpose(1, 0, 2, 3), present.T))  # (F,B,s,s,3)
 
         if use_bg:
             base = self._bg_base(variables, frames_u8, h, w)
         else:
-            base = frames_u8.astype(jnp.float32)
+            base = framesf
 
-        present = scores > 0  # (B,F)
-        mask = jnp.broadcast_to(
-            self._mask, (b, self.crop_size, self.crop_size, 1))
-        mf = m.reshape(b, f, 2, 3)
+        mask = jnp.broadcast_to(self._mask, (b, s, s, 1))
         for lane in range(f):
-            # frame-major layout: row (b, lane) lives at index b*f + lane
-            base = warp_and_blend_similarity(
-                base, restored[lane::f], mask, mf[:, lane],
-                present=present[:, lane], grid=self._blend_grid,
-                rot_subpix=2, rot_interp="nearest")
+            # paste-back with present all-False is a bit-exact no-op
+            # (tested), so skipping an empty lane changes nothing
+            base = jax.lax.cond(
+                jnp.any(present[:, lane]),
+                lambda bb, lane=lane: warp_and_blend_similarity(
+                    bb, restored_l[lane], mask, mf[:, lane],
+                    present=present[:, lane], grid=self._blend_grid,
+                    rot_subpix=2, rot_interp="nearest",
+                ).astype(jnp.float32),
+                lambda bb: bb, base)
         return jnp.clip(base, 0.0, 255.0).astype(jnp.uint8)
 
     def enhance(self, frames_rgb_u8: np.ndarray) -> np.ndarray:

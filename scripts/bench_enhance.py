@@ -51,11 +51,20 @@ def main():
     # face: GFPGAN-only; full-srvgg: + realesr-general-x4v3 background
     # (~2.4 MFLOP/px, the serving-relevant full-frame mode); full-rrdb:
     # + RealESRGAN_x4plus (~33 MFLOP/px — roofline ~1.4 fps/chip at
-    # 1080p; the reference's GPU path has the same wall)
-    for mode, bg_pair in (("face", None), ("full-srvgg", (fast, fast_vars)),
-                          ("full-rrdb", (bg, bg_vars))):
+    # 1080p; the reference's GPU path has the same wall).
+    #
+    # Lane-skip bounds: scores are sigmoids (padded -1), so
+    # det_thresh=1e-6 makes ALL max_faces lanes present (worst case:
+    # every lane's crop+GFPGAN+paste runs) and det_thresh=2.0 makes
+    # none present (floor: detector [+bg] only, all lanes cond-skipped).
+    # Typical 1-face serving ~= floor + (worst - floor)/max_faces.
+    cases = [("face", None, 1e-6), ("face-0lane", None, 2.0),
+             ("full-srvgg", (fast, fast_vars), 1e-6),
+             ("full-srvgg-0lane", (fast, fast_vars), 2.0),
+             ("full-rrdb", (bg, bg_vars), 1e-6)]
+    for mode, bg_pair, thresh in cases:
         enh = FaceEnhancer((det, det_vars), (gfp, gfp_vars), bg=bg_pair,
-                           max_faces=4)
+                           max_faces=4, det_thresh=thresh)
         cur = jnp.asarray(frames)
         t0 = time.time()
         out = enh._enhance_j(enh._vars, cur, use_bg=bg_pair is not None)
