@@ -368,6 +368,45 @@ def test_face_enhancer_pipeline_runs():
     np.testing.assert_array_equal(out2, frames)
 
 
+def test_face_enhancer_lane_skip_equivalence():
+    """Lane skipping is semantics-free: with a threshold that admits
+    only the top-scoring face, a max_faces=4 enhancer (lanes 1-3
+    cond-skipped) must reproduce a max_faces=1 enhancer bit-exactly —
+    decode's lanes are score-sorted, so lane 0 is the same face in
+    both."""
+    from ghost_tpu.models.scrfd import SCRFD, decode_detections, \
+        preprocess_frames
+    from ghost_tpu.pipeline.enhance import FaceEnhancer
+
+    key = jax.random.key(2)
+    det = SCRFD()
+    det_vars = det.init(key, jnp.zeros((1, 128, 128, 3)))
+    gfp = GFPGANClean(out_size=64, num_style_feat=32, channel_multiplier=2,
+                      num_mlp=2, narrow=0.25)
+    gfp_vars = gfp.init(key, jnp.zeros((1, 64, 64, 3)))
+
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 255, (2, 96, 128, 3), dtype=np.uint8)
+
+    # pick a threshold separating the top-1 and top-2 scores per frame
+    canvas, _ = preprocess_frames(jnp.asarray(frames), 128)
+    scores, _, _ = decode_detections(det.apply(det_vars, canvas),
+                                     input_size=128, score_thresh=0.0,
+                                     max_faces=4)
+    s = np.asarray(scores)
+    lo, hi = float(np.max(s[:, 1])), float(np.min(s[:, 0]))
+    assert lo < hi, "random detector scores not separable; reseed"
+    thresh = 0.5 * (lo + hi)
+
+    outs = []
+    for max_faces in (4, 1):
+        enh = FaceEnhancer((det, det_vars), (gfp, gfp_vars), None,
+                           det_size=128, max_faces=max_faces, crop_size=64,
+                           det_thresh=thresh)
+        outs.append(enh.enhance(frames))
+    np.testing.assert_array_equal(outs[0], outs[1])
+
+
 def test_face_enhancer_srvgg_background():
     """FaceEnhancer is bg-model-agnostic: the fast SRVGGNetCompact
     (realesr-general-x4v3, the reference Dockerfile's lightweight
