@@ -33,8 +33,28 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BLOCK_Q = 128
-DEFAULT_BLOCK_K = 128
+# Block sizes tuned on v5e at D=64 (scripts/bench_attention.py +
+# /tmp sweeps, 2026-08-18): fwd/dq want LARGE blocks — 512/2048 is
+# 3.9x faster than 128/128 at S=4096 (29.0 -> 7.4 ms chained) and
+# beats XLA's materializing attention 2.9x; the dkv kernel overflows
+# VMEM past 512/512 (it also streams full q/do per k-block), so _bwd
+# caps it separately (56.5 -> 15.7 ms at S=4096).
+DEFAULT_BLOCK_Q = 512
+DEFAULT_BLOCK_K = 2048
+DKV_BLOCK_CAP = 512
+
+
+def _fit_block(pref: int, s: int, quantum: int = 128) -> int:
+    """Largest block <= pref that divides s (stepping down in lane
+    quanta), so seqlens like 640 keep working under the larger tuned
+    defaults exactly as they did under 128."""
+    b = min(pref, s)
+    if s % b == 0:
+        return b
+    for cand in range((b // quantum) * quantum, 0, -quantum):
+        if s % cand == 0:
+            return cand
+    return s
 NEG_INF = -1e30
 
 
@@ -107,8 +127,8 @@ def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int,
 
 def _flash_forward(q, k, v, causal, sm_scale, block_q, block_k, interpret):
     b, h, s, d = q.shape
-    bq = min(block_q, s)
-    bk = min(block_k, s)
+    bq = _fit_block(block_q, s)
+    bk = _fit_block(block_k, s)
     assert s % bq == 0 and s % bk == 0, "seq len must divide block sizes"
 
     qr = q.reshape(b * h, s, d)
@@ -263,8 +283,8 @@ def _bwd(causal, sm_scale, block_q, block_k, interpret, res, g):
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(q.shape[-1])
     b, h, s, d = q.shape
-    bq = min(block_q, s)
-    bk = min(block_k, s)
+    bq = _fit_block(block_q, s)
+    bk = _fit_block(block_k, s)
 
     # delta = rowsum(do * o), the softmax-grad correction term
     delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32),
@@ -300,24 +320,29 @@ def _bwd(causal, sm_scale, block_q, block_k, interpret, res, g):
         interpret=interpret,
     )(qr, kr, vr, dor, lser, deltar)
 
+    # the dkv kernel holds (bq2, bk2) score tiles AND full q/do streams
+    # in VMEM — blocks past 512/512 fail Mosaic at S=4096/D=64, so cap
+    # independently of the fwd/dq tuning (see DKV_BLOCK_CAP note above)
+    bq2 = _fit_block(min(bq, DKV_BLOCK_CAP), s)
+    bk2 = _fit_block(min(bk, DKV_BLOCK_CAP), s)
     dk, dv = pl.pallas_call(
-        functools.partial(_flash_bwd_dkv_kernel, block_q=bq,
+        functools.partial(_flash_bwd_dkv_kernel, block_q=bq2,
                           sm_scale=sm_scale, causal=causal, seq_len=s),
-        grid=(b * h, s // bk),
+        grid=(b * h, s // bk2),
         in_specs=[
             pl.BlockSpec((1, s, d), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk, d), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, bk2, d), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk, d), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, bk2, d), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, s, d), full, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, s, 1), full, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, s, 1), full, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, bk, d), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, bk2, d), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk, d), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, bk2, d), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
