@@ -63,12 +63,25 @@ def _bwd_kernel(x_ref, g_ref, mean_ref, rstd_ref, dy_ref, dx_ref,
     db_ref[:] += jnp.sum(dy, axis=0, keepdims=True)
 
 
+def _fit_rows(pref: int, rows: int, quantum: int = 8) -> int:
+    """Largest row block <= pref dividing rows (sublane steps), so any
+    row count that worked under the old 128 default keeps working under
+    the tuned larger one."""
+    br = min(pref, rows)
+    if rows % br == 0:
+        return br
+    for cand in range((br // quantum) * quantum, 0, -quantum):
+        if rows % cand == 0:
+            return cand
+    return rows
+
+
 def _forward(x, gamma, beta, eps, block_rows, interpret):
     orig_shape = x.shape
     h = x.shape[-1]
     rows = x.size // h
     x2 = x.reshape(rows, h)
-    br = min(block_rows, rows)
+    br = _fit_rows(block_rows, rows)
     assert rows % br == 0, "row count must divide block_rows"
 
     out, mean, rstd = pl.pallas_call(
@@ -96,8 +109,12 @@ def _forward(x, gamma, beta, eps, block_rows, interpret):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def fused_layer_norm(x, gamma, beta, eps: float = 1e-5,
-                     block_rows: int = 128, interpret: bool = False):
-    """LayerNorm over the last axis with saved-stat backward."""
+                     block_rows: int = 1024, interpret: bool = False):
+    """LayerNorm over the last axis with saved-stat backward.
+
+    block_rows=1024 measured best on v5e (~10% over 128 at 8192x1024,
+    fwd and bwd; both sit at the same memory wall as XLA's fused LN —
+    the kernel's value is the guaranteed single pass + saved stats)."""
     out, _ = _forward(x, gamma, beta, eps, block_rows, interpret)
     return out
 
@@ -110,7 +127,7 @@ def _ln_fwd(x, gamma, beta, eps, block_rows, interpret):
 def _ln_bwd(eps, block_rows, interpret, res, g):
     x2, gamma, mean, rstd, orig_shape = res
     rows, h = x2.shape
-    br = min(block_rows, rows)
+    br = _fit_rows(block_rows, rows)
     dy = g.reshape(rows, h)
 
     dx, dgamma, dbeta = pl.pallas_call(
