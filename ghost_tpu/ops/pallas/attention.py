@@ -12,7 +12,10 @@ kernel:
     k-blocks via jax.lax.fori_loop with running (max, sum, acc)
     carries — the standard flash recurrence;
   * MXU does the two matmuls per block in bf16 with f32 accumulation;
-  * no seqlen/head-dim table: any multiple of the block sizes works;
+  * no seqlen/head-dim table: block sizes fit themselves down to any
+    lane-quantum seqlen (`_fit_block`); defaults are v5e-tuned (see
+    DEFAULT_BLOCK_* note) and beat XLA's materializing attention
+    2.6-2.7x at S=4096;
   * backward = hand-written Pallas kernels (`_flash_bwd_dq_kernel`,
     `_flash_bwd_dkv_kernel` below): the forward saves per-row LSE, the
     backward recomputes probabilities blockwise and accumulates
