@@ -15,6 +15,34 @@ from ghost_tpu.ops.pallas.attention import (
 from ghost_tpu.ops.pallas.layer_norm import fused_layer_norm, layer_norm_reference
 
 
+def test_fit_block_divides():
+    """Tuned large defaults must fit down to any lane-quantum seqlen
+    exactly as the old 128 defaults did."""
+    from ghost_tpu.ops.pallas.attention import _fit_block
+    from ghost_tpu.ops.pallas.layer_norm import _fit_rows
+
+    for s in (128, 256, 384, 512, 640, 1024, 1920, 4096):
+        for pref in (128, 512, 2048):
+            b = _fit_block(pref, s)
+            assert s % b == 0 and b <= max(pref, 1), (s, pref, b)
+    for rows in (8, 120, 1000, 8192, 36):
+        for pref in (128, 1024):
+            b = _fit_rows(pref, rows)
+            assert rows % b == 0, (rows, pref, b)
+
+
+def test_flash_attention_odd_seq_interpret(rng):
+    """Seqlen 640 (not a multiple of the 512/2048 defaults) routes
+    through _fit_block and still matches the reference."""
+    q = rng.standard_normal((1, 1, 640, 64), dtype=np.float32)
+    out = flash_attention(jnp.asarray(q), jnp.asarray(q), jnp.asarray(q),
+                          False, None, 512, 2048, True)
+    ref = flash_attention_reference(jnp.asarray(q), jnp.asarray(q),
+                                    jnp.asarray(q), False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
+
+
 @pytest.mark.parametrize("causal", [False, True])
 @pytest.mark.parametrize("seq,heads,dim", [(256, 2, 64), (128, 1, 128)])
 def test_flash_attention_forward(rng, causal, seq, heads, dim):
