@@ -1,9 +1,17 @@
 from ghost_tpu.parallel.dp import shard_train_step, replicate_state
+from ghost_tpu.parallel.pp import (
+    make_pipe_mesh,
+    pipeline_apply,
+    stack_block_params,
+)
 from ghost_tpu.parallel.zero import zero_shard_opt_state, state_shardings
 
 __all__ = [
     "shard_train_step",
     "replicate_state",
+    "make_pipe_mesh",
+    "pipeline_apply",
+    "stack_block_params",
     "zero_shard_opt_state",
     "state_shardings",
 ]

@@ -1,0 +1,151 @@
+"""Pipeline parallelism: a GPipe microbatch schedule over a "pipe" mesh
+axis.
+
+The reference has NO pipeline parallelism — its complete distributed
+surface is DDP + SyncBN + ZeRO-style sharded optimizers (SURVEY.md
+§2.5, reference apex/apex/parallel/). This module is a beyond-reference
+scaling capability motivated by a *measured* wall: RRDB x4plus
+background enhancement is compute-walled at ~1.4 fps/chip for 1080p x4
+(its ~33 MFLOP/px roofline — BENCH_EXTRA_r03.json), and its trunk is 23
+identical residual blocks. That homogeneous-block shape is the ideal
+pipeline: stack the block params, give each chip a contiguous run of
+blocks, and stream microbatches through with `ppermute` hops riding
+ICI. Data parallelism can't help a latency-bound single stream;
+pipelining turns N chips into ~N× trunk throughput at high microbatch
+occupancy (efficiency M/(M+S-1) for M microbatches over S stages).
+
+TPU-native mechanics: one `shard_map` program; each device holds its
+stage's stacked block params (leading dim sharded on "pipe"); a
+`lax.scan` over M+S-1 ticks applies the local blocks and shifts
+activations to the next stage with `ppermute` (XLA schedules the hop to
+overlap with the next tick's compute). Everything is static-shape; the
+wavefront is masked arithmetic, not control flow. The schedule is
+differentiable end to end (scan + ppermute transpose), so the same
+function serves training — pass `remat=True` to rematerialize block
+activations in the backward pass (GPipe's memory trick).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+PIPE_AXIS = "pipe"
+
+
+def make_pipe_mesh(num_stages: int,
+                   devices: Sequence[jax.Device] | None = None) -> Mesh:
+    """A 1-D ("pipe",) mesh over the first `num_stages` devices."""
+    import numpy as np
+
+    if devices is None:
+        devices = jax.devices()
+    if len(devices) < num_stages:
+        raise ValueError(f"need {num_stages} devices, have {len(devices)}")
+    return Mesh(np.asarray(devices[:num_stages]), (PIPE_AXIS,))
+
+
+def stack_block_params(blocks: Sequence[Any]) -> Any:
+    """Stack N per-block param trees into one tree of (N, ...) leaves
+    (the layout `pipeline_apply` shards across stages)."""
+    return jax.tree.map(lambda *ls: jnp.stack(ls), *blocks)
+
+
+def unstack_block_params(stacked: Any) -> list:
+    """Inverse of `stack_block_params`."""
+    n = jax.tree.leaves(stacked)[0].shape[0]
+    return [jax.tree.map(lambda l: l[i], stacked) for i in range(n)]
+
+
+def pipeline_apply(
+    block_apply: Callable[[Any, jax.Array], jax.Array],
+    stacked_params: Any,
+    x: jax.Array,
+    *,
+    mesh: Mesh,
+    axis: str = PIPE_AXIS,
+    num_microbatches: int | None = None,
+    remat: bool = False,
+) -> jax.Array:
+    """Run x through N homogeneous blocks pipelined over `axis`.
+
+    block_apply(params_one_block, h) -> h', same shape (a residual
+    block). stacked_params: tree of (N, ...) leaves, N divisible by the
+    axis size S; stage s owns blocks [s*N/S, (s+1)*N/S). x: (B, ...)
+    with B divisible by num_microbatches (default: the axis size, the
+    minimum that keeps every stage busy at steady state).
+
+    Output equals applying the N blocks sequentially (tested exactly);
+    the pipeline is purely an execution-schedule change.
+    """
+    num_stages = mesh.shape[axis]
+    n_blocks = jax.tree.leaves(stacked_params)[0].shape[0]
+    if n_blocks % num_stages:
+        raise ValueError(f"{n_blocks} blocks not divisible by "
+                         f"{num_stages} stages")
+    bps = n_blocks // num_stages
+    m = num_microbatches or num_stages
+    if x.shape[0] % m:
+        raise ValueError(f"batch {x.shape[0]} not divisible by "
+                         f"{m} microbatches")
+    xm = x.reshape((m, x.shape[0] // m) + x.shape[1:])
+
+    staged = jax.tree.map(
+        lambda p: p.reshape((num_stages, bps) + p.shape[1:]), stacked_params)
+    apply_one = jax.checkpoint(block_apply) if remat else block_apply
+
+    def stage_fn(params, xm):
+        # params leaves: (1, bps, ...) — this stage's blocks.
+        # xm: (M, Bm, ...) — replicated microbatches.
+        idx = jax.lax.axis_index(axis)
+        s_last = num_stages - 1
+
+        def run_blocks(h):
+            for b in range(bps):
+                p_b = jax.tree.map(lambda l: l[0, b], params)
+                h = apply_one(p_b, h)
+            return h
+
+        def tick(carry, t):
+            state, out = carry
+            # stage 0 ingests microbatch t while t < M
+            inp = jax.lax.dynamic_slice_in_dim(
+                xm, jnp.clip(t, 0, m - 1), 1, 0)[0]
+            h = jnp.where(jnp.logical_and(idx == 0, t < m), inp, state)
+            y = run_blocks(h)
+            # the last stage emits microbatch t-(S-1) from tick S-1 on
+            out_t = t - s_last
+            upd = jax.lax.dynamic_update_slice_in_dim(
+                out, y[None], jnp.maximum(out_t, 0), 0)
+            write = jnp.logical_and(idx == s_last, out_t >= 0)
+            out = jnp.where(write, upd, out)
+            # shift activations one stage downstream (rides ICI)
+            nxt = jax.lax.ppermute(
+                y, axis, [(i, i + 1) for i in range(num_stages - 1)])
+            return (nxt, out), None
+
+        # the carry becomes device-varying over "pipe" (axis_index,
+        # ppermute) — mark the zero initializers varying up front so
+        # the scan carry types match (jax>=0.8 VMA typing)
+        pcast = getattr(jax.lax, "pcast", None)
+        if pcast is not None:
+            mark = lambda v: pcast(v, (axis,), to="varying")
+        else:  # older spelling
+            mark = lambda v: jax.lax.pvary(v, (axis,))
+        state0 = mark(jnp.zeros(xm.shape[1:], xm.dtype))
+        out0 = mark(jnp.zeros_like(xm))
+        (_, out), _ = jax.lax.scan(
+            tick, (state0, out0), jnp.arange(m + num_stages - 1))
+        # results live on the last stage only; psum replicates them
+        mask = (idx == s_last).astype(out.dtype)
+        return jax.lax.psum(out * mask, axis)
+
+    shmap = jax.shard_map(
+        stage_fn, mesh=mesh,
+        in_specs=(jax.tree.map(lambda _: P(axis), staged), P()),
+        out_specs=P())
+    out = shmap(staged, xm)
+    return out.reshape(x.shape)
