@@ -125,3 +125,54 @@ class RRDBNet(nn.Module):
                            param_dtype=pd, name="conv_hr")(feat))
         return Conv(self.num_out_ch, 3, padding=1, dtype=cd,
                     param_dtype=pd, name="conv_last")(feat)
+
+
+def rrdb_forward_pipelined(net: RRDBNet, variables, x, *, mesh,
+                           num_microbatches: int | None = None,
+                           axis: str = "pipe", remat: bool = False):
+    """RRDBNet forward with the 23-block trunk pipelined over a mesh.
+
+    The trunk is the FLOP wall of the reference's background enhancer
+    (reference utils/training/upsampler.py:25-47: RealESRGAN x4plus is
+    ~33 MFLOP/px — ~1.4 fps/chip roofline at 1080p, BENCH_EXTRA_r03);
+    data parallelism cannot help a single latency-bound stream, so this
+    runs the homogeneous blocks through `parallel.pp.pipeline_apply`
+    (GPipe schedule: stage s holds blocks [s*ceil(N/S), ...), microbatch
+    wavefront hops stages via ppermute over ICI). Head/tail convs
+    (conv_first/body/up/hr/last, <5% of trunk FLOPs) run replicated.
+
+    Numerically identical to `net.apply` (tested on the 8-device CPU
+    mesh, incl. the 23%S!=0 identity-padding path). `x` batch must be
+    divisible by num_microbatches (default: the stage count).
+    """
+    p = variables["params"]
+    cd = net.policy.compute_dtype
+    pd = net.policy.param_dtype
+
+    def conv(name, h, feats=None, act=False):
+        y = Conv(feats or net.num_feat, 3, padding=1, dtype=cd,
+                 param_dtype=pd).apply({"params": p[name]}, h)
+        return _lrelu(y) if act else y
+
+    x = x.astype(cd)
+    if net.scale == 2:
+        x = pixel_unshuffle(x, 2)
+    elif net.scale == 1:
+        x = pixel_unshuffle(x, 4)
+    feat = conv("conv_first", x)
+
+    from ghost_tpu.parallel.pp import pipeline_apply, stack_block_params
+
+    block = RRDB(net.num_feat, net.num_grow_ch, net.policy)
+    stacked = stack_block_params(
+        [p[f"body_{i}"] for i in range(net.num_block)])
+    body = pipeline_apply(
+        lambda bp, h: block.apply({"params": bp}, h), stacked, feat,
+        mesh=mesh, axis=axis, num_microbatches=num_microbatches,
+        remat=remat)
+
+    feat = feat + conv("conv_body", body)
+    feat = conv("conv_up1", nearest_up2(feat), act=True)
+    feat = conv("conv_up2", nearest_up2(feat), act=True)
+    feat = conv("conv_hr", feat, act=True)
+    return conv("conv_last", feat, feats=net.num_out_ch)

@@ -73,9 +73,12 @@ def pipeline_apply(
     """Run x through N homogeneous blocks pipelined over `axis`.
 
     block_apply(params_one_block, h) -> h', same shape (a residual
-    block). stacked_params: tree of (N, ...) leaves, N divisible by the
-    axis size S; stage s owns blocks [s*N/S, (s+1)*N/S). x: (B, ...)
-    with B divisible by num_microbatches (default: the axis size, the
+    block). stacked_params: tree of (N, ...) leaves; stage s owns
+    blocks [s*ceil(N/S), (s+1)*ceil(N/S)). When N is not divisible by
+    the stage count S (e.g. RRDBNet's 23-block trunk over 4 chips) the
+    trailing slots are zero-padded params masked to identity — they
+    still burn their FLOPs, but correctness is exact. x: (B, ...) with
+    B divisible by num_microbatches (default: the axis size, the
     minimum that keeps every stage busy at steady state).
 
     Output equals applying the N blocks sequentially (tested exactly);
@@ -83,10 +86,13 @@ def pipeline_apply(
     """
     num_stages = mesh.shape[axis]
     n_blocks = jax.tree.leaves(stacked_params)[0].shape[0]
-    if n_blocks % num_stages:
-        raise ValueError(f"{n_blocks} blocks not divisible by "
-                         f"{num_stages} stages")
-    bps = n_blocks // num_stages
+    bps = -(-n_blocks // num_stages)  # ceil
+    n_pad = bps * num_stages
+    if n_pad != n_blocks:
+        stacked_params = jax.tree.map(
+            lambda p: jnp.concatenate(
+                [p, jnp.zeros((n_pad - n_blocks,) + p.shape[1:], p.dtype)]),
+            stacked_params)
     m = num_microbatches or num_stages
     if x.shape[0] % m:
         raise ValueError(f"batch {x.shape[0]} not divisible by "
@@ -106,7 +112,13 @@ def pipeline_apply(
         def run_blocks(h):
             for b in range(bps):
                 p_b = jax.tree.map(lambda l: l[0, b], params)
-                h = apply_one(p_b, h)
+                y_b = apply_one(p_b, h)
+                if n_pad != n_blocks:
+                    # padded trailing slots are identity (zero params
+                    # would NOT be identity for arbitrary block_apply)
+                    h = jnp.where(idx * bps + b < n_blocks, y_b, h)
+                else:
+                    h = y_b
             return h
 
         def tick(carry, t):

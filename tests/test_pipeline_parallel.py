@@ -89,6 +89,19 @@ def _run():
         _shards_match(got, ref_np, atol=1e-6)
     print("schedule equivalence ok")
 
+    # --- N % S != 0: trailing slots identity-padded --------------------
+    stacked7 = stack_block_params(blocks[:7])
+    ref7 = x
+    for p in blocks[:7]:
+        ref7 = block_apply(p, ref7)
+    got7 = jax.jit(
+        lambda sp, xx: pipeline_apply(
+            block_apply, sp, xx, mesh=make_pipe_mesh(4),
+            num_microbatches=4)
+    )(stacked7, x)
+    _shards_match(got7, np.asarray(ref7), atol=1e-6)
+    print("padding equivalence ok")
+
     # --- gradients (remat=True) match the sequential chain -----------
     mesh = make_pipe_mesh(4)
 
@@ -131,6 +144,22 @@ def _run():
             rrdb_apply, sp, xx, mesh=make_pipe_mesh(4), num_microbatches=4)
     )(stacked_rrdb, feats)
     _shards_match(got, np.asarray(ref), atol=1e-5)
+    print("rrdb trunk ok")
+
+    # --- full RRDBNet with the trunk pipelined (5 blocks / 4 stages:
+    # exercises the identity-padding path on the real consumer) --------
+    from ghost_tpu.models.sr.rrdb import RRDBNet, rrdb_forward_pipelined
+
+    net = RRDBNet(num_feat=8, num_block=5, num_grow_ch=4, scale=4,
+                  policy=FULL_PRECISION)
+    imgs = jnp.asarray(rng.standard_normal((4, 8, 8, 3), np.float32))
+    variables = net.init(jax.random.key(1), imgs[:1])
+    ref_full = np.asarray(net.apply(variables, imgs))
+    got_full = jax.jit(
+        lambda v, xx: rrdb_forward_pipelined(
+            net, v, xx, mesh=make_pipe_mesh(4), num_microbatches=4)
+    )(variables, imgs)
+    _shards_match(got_full, ref_full, atol=1e-5)
     print("PP-OK")
 
 
