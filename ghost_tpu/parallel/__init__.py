@@ -4,6 +4,7 @@ from ghost_tpu.parallel.pp import (
     pipeline_apply,
     stack_block_params,
 )
+from ghost_tpu.parallel.sp import make_seq_mesh, ring_attention
 from ghost_tpu.parallel.zero import zero_shard_opt_state, state_shardings
 
 __all__ = [
@@ -12,6 +13,8 @@ __all__ = [
     "make_pipe_mesh",
     "pipeline_apply",
     "stack_block_params",
+    "make_seq_mesh",
+    "ring_attention",
     "zero_shard_opt_state",
     "state_shardings",
 ]

@@ -36,6 +36,21 @@ from jax.sharding import Mesh, PartitionSpec as P
 PIPE_AXIS = "pipe"
 
 
+def mark_varying(tree: Any, axis: str) -> Any:
+    """Mark arrays as device-varying over `axis` inside shard_map.
+
+    Zero-initialized scan carries start unvarying but become varying
+    once mixed with axis_index/ppermute results; jax>=0.8's
+    varying-manual-axes typing requires the initializers to be marked
+    up front (pcast on new jax, pvary on the older spelling)."""
+    pcast = getattr(jax.lax, "pcast", None)
+    if pcast is not None:
+        f = lambda v: pcast(v, (axis,), to="varying")
+    else:
+        f = lambda v: jax.lax.pvary(v, (axis,))
+    return jax.tree.map(f, tree)
+
+
 def make_pipe_mesh(num_stages: int,
                    devices: Sequence[jax.Device] | None = None) -> Mesh:
     """A 1-D ("pipe",) mesh over the first `num_stages` devices."""
@@ -139,16 +154,8 @@ def pipeline_apply(
                 y, axis, [(i, i + 1) for i in range(num_stages - 1)])
             return (nxt, out), None
 
-        # the carry becomes device-varying over "pipe" (axis_index,
-        # ppermute) — mark the zero initializers varying up front so
-        # the scan carry types match (jax>=0.8 VMA typing)
-        pcast = getattr(jax.lax, "pcast", None)
-        if pcast is not None:
-            mark = lambda v: pcast(v, (axis,), to="varying")
-        else:  # older spelling
-            mark = lambda v: jax.lax.pvary(v, (axis,))
-        state0 = mark(jnp.zeros(xm.shape[1:], xm.dtype))
-        out0 = mark(jnp.zeros_like(xm))
+        state0 = mark_varying(jnp.zeros(xm.shape[1:], xm.dtype), axis)
+        out0 = mark_varying(jnp.zeros_like(xm), axis)
         (_, out), _ = jax.lax.scan(
             tick, (state0, out0), jnp.arange(m + num_stages - 1))
         # results live on the last stage only; psum replicates them
