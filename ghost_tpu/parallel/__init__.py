@@ -1,4 +1,5 @@
 from ghost_tpu.parallel.dp import shard_train_step, replicate_state
+from ghost_tpu.parallel.ep import make_expert_mesh, moe_apply_expert_parallel
 from ghost_tpu.parallel.pp import (
     make_pipe_mesh,
     pipeline_apply,
@@ -15,6 +16,8 @@ __all__ = [
     "stack_block_params",
     "make_seq_mesh",
     "ring_attention",
+    "make_expert_mesh",
+    "moe_apply_expert_parallel",
     "zero_shard_opt_state",
     "state_shardings",
 ]
