@@ -57,8 +57,15 @@ class CheckpointManager:
         )
 
     def save(self, step: int, state: Any) -> None:
+        # jax.Arrays pass through as-is: orbax serializes per
+        # addressable shard, which is what makes ZeRO/mesh-sharded
+        # train state checkpointable (a host device_get of a
+        # multi-device array would materialize the full value — and
+        # aborts outright on some backends; see
+        # tests/test_checkpoint_sharded.py). Non-array leaves
+        # (ints/floats) are fine either way.
         self.manager.save(
-            step, args=self._ocp.args.StandardSave(jax.device_get(state))
+            step, args=self._ocp.args.StandardSave(state)
         )
         self.manager.wait_until_finished()
 
