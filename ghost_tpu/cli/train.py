@@ -238,9 +238,13 @@ def main(argv=None):
         run_name=args.run_name, distill=(mode != "canonical"),
         output_dir=args.output_dir,
     )
-    state, metrics = train_loop(state, g_step, d_step, batch_iter, loop_cfg,
-                                checkpoint_manager=ckpt,
-                                max_steps=args.max_steps)
+    from ghost_tpu.train.preempt import PreemptionGuard
+
+    with PreemptionGuard() as guard:
+        state, metrics = train_loop(state, g_step, d_step, batch_iter,
+                                    loop_cfg, checkpoint_manager=ckpt,
+                                    max_steps=args.max_steps,
+                                    preemption=guard)
     print("final:", metrics)
 
 

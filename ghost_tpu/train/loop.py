@@ -65,6 +65,7 @@ def train_loop(
     cfg: LoopConfig,
     checkpoint_manager=None,
     max_steps: Optional[int] = None,
+    preemption=None,
 ):
     """Run the GAN loop. Returns final state.
 
@@ -133,6 +134,15 @@ def train_loop(
             if checkpoint_manager is not None and iteration > 0 \
                     and iteration % cfg.save_interval == 0:
                 checkpoint_manager.save(iteration, state)
+
+            if preemption is not None and preemption.triggered:
+                # SIGTERM latched (train/preempt.py): save the full
+                # state for exact resume and stop cleanly
+                if checkpoint_manager is not None:
+                    checkpoint_manager.save(iteration, state)
+                print(f"train_loop: preemption signal; saved step "
+                      f"{iteration} and stopping")
+                return state, last_metrics
 
             iteration += 1
             if max_steps is not None and iteration >= max_steps:
