@@ -47,11 +47,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_blocks", default=2, type=int)
     p.add_argument("--same_person", default=0.2, type=float,
                    help="probability of same-person pairs (1 - same_prob)")
-    p.add_argument("--same_identity", default=False, type=bool)
+    # the four flags below keep the reference's `type=bool` wart for
+    # flag parity (reference train.py:554-603); see cli/inference.py
+    p.add_argument("--same_identity", default=False, type=bool,
+                   help="reference-parity flag: ANY non-empty value (even 'False') enables; omit to disable")
     p.add_argument("--vgg_dataset", default=False, type=bool,
-                   help="per-identity folder layout (VGGFace2)")
-    p.add_argument("--celeba", default=False, type=bool)
-    p.add_argument("--eye_detector_loss", default=False, type=bool)
+                   help="per-identity folder layout (VGGFace2); reference-parity flag: ANY non-empty value (even 'False') enables; omit to disable")
+    p.add_argument("--celeba", default=False, type=bool,
+                   help="reference-parity flag: ANY non-empty value (even 'False') enables; omit to disable")
+    p.add_argument("--eye_detector_loss", default=False, type=bool,
+                   help="reference-parity flag: ANY non-empty value (even 'False') enables; omit to disable")
     p.add_argument("--fan_path", default="", help="FAN weights (msgpack)")
     p.add_argument("--fan_stacks", default=4, type=int,
                    help="FAN hourglass stacks (4 = reference WFLW_4HG)")
