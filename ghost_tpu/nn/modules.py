@@ -62,6 +62,11 @@ class MultiheadAttention(nn.Module):
     causal: bool = False
     norm_add: bool = False
     use_pallas: bool = True
+    # a jax.sharding.Mesh with a "seq" axis routes the attention core
+    # through parallel/sp.py ring attention (sequence sharded across
+    # devices, KV rotating over ICI) — for sequences past one chip's
+    # HBM. Param tree is unchanged; outputs match the local core.
+    seq_mesh: Any = None
     policy: Policy = DEFAULT_POLICY
 
     @nn.compact
@@ -92,16 +97,26 @@ class MultiheadAttention(nn.Module):
             return t.reshape(b, sl, self.num_heads, self.head_dim).transpose(
                 0, 2, 1, 3)
 
-        qh, kh, vh = split(q, s), split(k, sk), split(v, sk)
-        pallas_ok = (
-            self.use_pallas and s == sk and s % 128 == 0
-            and jax.default_backend() == "tpu"
-        )
-        if pallas_ok:
-            o = flash_attention(qh, kh, vh, self.causal)
+        if self.seq_mesh is not None:
+            from ghost_tpu.parallel.sp import ring_attention
+
+            o = ring_attention(
+                q.reshape(b, s, self.num_heads, self.head_dim),
+                k.reshape(b, sk, self.num_heads, self.head_dim),
+                v.reshape(b, sk, self.num_heads, self.head_dim),
+                mesh=self.seq_mesh, causal=self.causal,
+            ).reshape(b, s, d_model)
         else:
-            o = flash_attention_reference(qh, kh, vh, self.causal)
-        o = o.transpose(0, 2, 1, 3).reshape(b, s, d_model)
+            qh, kh, vh = split(q, s), split(k, sk), split(v, sk)
+            pallas_ok = (
+                self.use_pallas and s == sk and s % 128 == 0
+                and jax.default_backend() == "tpu"
+            )
+            if pallas_ok:
+                o = flash_attention(qh, kh, vh, self.causal)
+            else:
+                o = flash_attention_reference(qh, kh, vh, self.causal)
+            o = o.transpose(0, 2, 1, 3).reshape(b, s, d_model)
         out = nn.Dense(q_in.shape[-1], dtype=cd, param_dtype=pd,
                        name="out_proj")(o)
         if self.norm_add:

@@ -100,6 +100,22 @@ def _run():
     g_ref = jax.jit(jax.grad(loss_ref, argnums=(0, 1, 2)))(q, k, v)
     for gr, gf in zip(g_ring, g_ref):
         _shards_match(gr, np.asarray(gf), atol=1e-4)
+    print("grads ok")
+
+    # MultiheadAttention(seq_mesh=...) routes through the ring core
+    # with an unchanged param tree and matching outputs
+    from ghost_tpu.core.precision import FULL_PRECISION
+    from ghost_tpu.nn.modules import MultiheadAttention
+
+    xin = jnp.asarray(rng.standard_normal((2, 64, 16), np.float32))
+    mha = MultiheadAttention(num_heads=2, head_dim=8, causal=True,
+                             policy=FULL_PRECISION)
+    variables = mha.init(jax.random.key(0), xin)
+    ref = np.asarray(mha.apply(variables, xin))
+    mha_sp = MultiheadAttention(num_heads=2, head_dim=8, causal=True,
+                                seq_mesh=mesh, policy=FULL_PRECISION)
+    got = jax.jit(lambda v_, x_: mha_sp.apply(v_, x_))(variables, xin)
+    _shards_match(got, ref, atol=1e-5)
     print("SP-OK")
 
 
