@@ -129,7 +129,8 @@ class RRDBNet(nn.Module):
 
 def rrdb_forward_pipelined(net: RRDBNet, variables, x, *, mesh,
                            num_microbatches: int | None = None,
-                           axis: str = "pipe", remat: bool = False):
+                           axis: str = "pipe", remat: bool = False,
+                           batch_axis: str | None = None):
     """RRDBNet forward with the 23-block trunk pipelined over a mesh.
 
     The trunk is the FLOP wall of the reference's background enhancer
@@ -169,7 +170,7 @@ def rrdb_forward_pipelined(net: RRDBNet, variables, x, *, mesh,
     body = pipeline_apply(
         lambda bp, h: block.apply({"params": bp}, h), stacked, feat,
         mesh=mesh, axis=axis, num_microbatches=num_microbatches,
-        remat=remat)
+        remat=remat, batch_axis=batch_axis)
 
     feat = feat + conv("conv_body", body)
     feat = conv("conv_up1", nearest_up2(feat), act=True)

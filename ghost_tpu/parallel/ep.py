@@ -46,13 +46,16 @@ def make_expert_mesh(num_devices: int,
 
 def moe_apply_expert_parallel(params: dict, x: jax.Array, *,
                               mesh: Mesh, axis: str = EXPERT_AXIS,
-                              top_k: int = 2) -> jax.Array:
+                              top_k: int = 2,
+                              batch_axis: str | None = None) -> jax.Array:
     """`nn.moe.moe_apply` with experts sharded over `axis`.
 
     params: as `init_moe_params` (num_experts divisible by the axis
     size). x: (..., D), replicated. Output matches the dense reference
     exactly (tested on the 8-device CPU mesh, fwd and grads — the psum
-    transposes cleanly so training shards the same way).
+    transposes cleanly so training shards the same way). batch_axis
+    optionally shards the token dim over a second mesh axis (2-D
+    data x expert composition; the expert psum stays on `axis`).
     """
     n = mesh.shape[axis]
     num_experts = params["w1"].shape[0]
@@ -74,9 +77,10 @@ def moe_apply_expert_parallel(params: dict, x: jax.Array, *,
         partial = expert_contrib(ep, xf, local_gates)
         return jax.lax.psum(partial, axis)
 
+    x_spec = P(batch_axis)
     shmap = jax.shard_map(
         local_fn, mesh=mesh,
         in_specs=(jax.tree.map(lambda _: P(axis), expert_leaves),
-                  P(), P()),
-        out_specs=P())
+                  P(), x_spec),
+        out_specs=x_spec)
     return shmap(expert_leaves, router, xf).reshape(shape)

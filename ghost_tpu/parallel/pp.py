@@ -36,18 +36,34 @@ from jax.sharding import Mesh, PartitionSpec as P
 PIPE_AXIS = "pipe"
 
 
-def mark_varying(tree: Any, axis: str) -> Any:
-    """Mark arrays as device-varying over `axis` inside shard_map.
+def mark_varying(tree: Any, axis: str | tuple[str, ...]) -> Any:
+    """Mark arrays as device-varying over axis (or axes) inside
+    shard_map.
 
     Zero-initialized scan carries start unvarying but become varying
-    once mixed with axis_index/ppermute results; jax>=0.8's
-    varying-manual-axes typing requires the initializers to be marked
-    up front (pcast on new jax, pvary on the older spelling)."""
+    once mixed with axis_index/ppermute results (or with inputs sharded
+    over a second mesh axis); jax>=0.8's varying-manual-axes typing
+    requires the initializers to be marked up front (pcast on new jax,
+    pvary on the older spelling)."""
+    axes = (axis,) if isinstance(axis, str) else tuple(axis)
     pcast = getattr(jax.lax, "pcast", None)
-    if pcast is not None:
-        f = lambda v: pcast(v, (axis,), to="varying")
-    else:
-        f = lambda v: jax.lax.pvary(v, (axis,))
+
+    def _vma(v):
+        try:
+            return set(jax.typeof(v).vma)
+        except Exception:
+            return set()
+
+    def f(v):
+        if pcast is None:
+            return jax.lax.pvary(v, axes)
+        # pcast rejects axes already varying — mark only the missing
+        # ones (e.g. zeros_like(x) inherits x's axes on a 2-D mesh)
+        for a in axes:
+            if a not in _vma(v):
+                v = pcast(v, (a,), to="varying")
+        return v
+
     return jax.tree.map(f, tree)
 
 
@@ -84,6 +100,7 @@ def pipeline_apply(
     axis: str = PIPE_AXIS,
     num_microbatches: int | None = None,
     remat: bool = False,
+    batch_axis: str | None = None,
 ) -> jax.Array:
     """Run x through N homogeneous blocks pipelined over `axis`.
 
@@ -98,6 +115,10 @@ def pipeline_apply(
 
     Output equals applying the N blocks sequentially (tested exactly);
     the pipeline is purely an execution-schedule change.
+
+    batch_axis: name of a second mesh axis to shard each microbatch's
+    batch dim over (2-D data x pipe composition — the ppermute hops
+    stay on the pipe axis, per-data-shard streams are independent).
     """
     num_stages = mesh.shape[axis]
     n_blocks = jax.tree.leaves(stacked_params)[0].shape[0]
@@ -154,17 +175,21 @@ def pipeline_apply(
                 y, axis, [(i, i + 1) for i in range(num_stages - 1)])
             return (nxt, out), None
 
-        state0 = mark_varying(jnp.zeros(xm.shape[1:], xm.dtype), axis)
-        out0 = mark_varying(jnp.zeros_like(xm), axis)
+        # the carry mixes axis_index/ppermute (pipe-varying) with xm
+        # (also batch_axis-varying on a 2-D mesh)
+        vaxes = (axis,) + ((batch_axis,) if batch_axis else ())
+        state0 = mark_varying(jnp.zeros(xm.shape[1:], xm.dtype), vaxes)
+        out0 = mark_varying(jnp.zeros_like(xm), vaxes)
         (_, out), _ = jax.lax.scan(
             tick, (state0, out0), jnp.arange(m + num_stages - 1))
         # results live on the last stage only; psum replicates them
         mask = (idx == s_last).astype(out.dtype)
         return jax.lax.psum(out * mask, axis)
 
+    x_spec = P(None, batch_axis)  # xm is (M, Bm, ...)
     shmap = jax.shard_map(
         stage_fn, mesh=mesh,
-        in_specs=(jax.tree.map(lambda _: P(axis), staged), P()),
-        out_specs=P())
+        in_specs=(jax.tree.map(lambda _: P(axis), staged), x_spec),
+        out_specs=x_spec)
     out = shmap(staged, xm)
     return out.reshape(x.shape)

@@ -83,13 +83,16 @@ def _block_update(carry, q, k, v, scale, mask):
 def ring_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
                    mesh: Mesh, axis: str = SEQ_AXIS,
                    causal: bool = False,
-                   scale: float | None = None) -> jax.Array:
+                   scale: float | None = None,
+                   batch_axis: str | None = None) -> jax.Array:
     """Exact attention with Q/K/V sequence-sharded over `axis`.
 
     q, k, v: (B, S, H, D) global views, S divisible by the axis size.
     Returns (B, S, H, D) sharded the same way. Matches
     softmax(QK^T * scale [+ causal mask]) V to f32 accuracy (tested on
-    the 8-device CPU mesh, fwd and grads).
+    the 8-device CPU mesh, fwd and grads). batch_axis optionally shards
+    the batch dim over a second mesh axis (2-D data x seq composition;
+    the KV ring stays on `axis`).
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
@@ -102,9 +105,10 @@ def ring_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
         b, lq, h, d = q.shape
         lk = k.shape[1]
         qf = q.astype(jnp.float32)
-        o0 = mark_varying(jnp.zeros((b, lq, h, d), jnp.float32), axis)
-        m0 = mark_varying(jnp.full((b, h, lq), _NEG, jnp.float32), axis)
-        l0 = mark_varying(jnp.zeros((b, h, lq), jnp.float32), axis)
+        vaxes = (axis,) + ((batch_axis,) if batch_axis else ())
+        o0 = mark_varying(jnp.zeros((b, lq, h, d), jnp.float32), vaxes)
+        m0 = mark_varying(jnp.full((b, h, lq), _NEG, jnp.float32), vaxes)
+        l0 = mark_varying(jnp.zeros((b, h, lq), jnp.float32), vaxes)
         q_pos = idx * lq + jnp.arange(lq)
 
         perm = [(i, (i + 1) % n) for i in range(n)]
@@ -127,10 +131,11 @@ def ring_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
             tick, (o0, m0, l0, k, v), jnp.arange(n))
         return (o / l.transpose(0, 2, 1)[..., None]).astype(q.dtype)
 
+    spec = P(batch_axis, axis)
     shmap = jax.shard_map(
         local_fn, mesh=mesh,
-        in_specs=(P(None, axis), P(None, axis), P(None, axis)),
-        out_specs=P(None, axis))
+        in_specs=(spec, spec, spec),
+        out_specs=spec)
     return shmap(q, k, v)
 
 
