@@ -69,15 +69,21 @@ def _soft_border_mask(size: int, border_frac: float = 0.1):
 
 
 def upscale_tiled(mod, variables, frames01, scale: int = 4,
-                  tile: int | tuple[int, int] = 256, tile_pad: int = 10):
+                  tile: int | tuple[int, int] = 256, tile_pad: int = 10,
+                  mesh=None, mesh_axis: str = "data"):
     """RealESRGANer.tile_process parity: split (B,H,W,C) into
     tile_h x tile_w pieces with a `tile_pad` halo, upsample each
     through `mod`, and stitch the x`scale` outputs. H/W must divide by
     the tile dims (270x240 covers 1080p). Tiles run sequentially under
-    lax.map so peak memory is one tile's activations."""
+    lax.map so peak memory is one tile's activations.
+
+    `mesh` shards the TILE axis over `mesh_axis` (tiles are
+    independent, so multi-chip background enhancement is data
+    parallelism over tiles — each chip maps its contiguous subset
+    sequentially; output identical to the single-device stitch)."""
     th, tw = (tile, tile) if isinstance(tile, int) else tile
     return _tiled_rect(mod, variables, frames01, th, tw, tile_pad,
-                       scale=scale)
+                       scale=scale, mesh=mesh, mesh_axis=mesh_axis)
 
 
 class FaceEnhancer:
@@ -196,8 +202,25 @@ class FaceEnhancer:
         return np.asarray(out)
 
 
+def _one_tile(mod, variables, frames01, start, th, tw, pad, scale,
+              downscale):
+    b, h, w, c = frames01.shape
+    sy = jnp.clip(start[0] - pad, 0, h - (th + 2 * pad))
+    sx = jnp.clip(start[1] - pad, 0, w - (tw + 2 * pad))
+    patch = jax.lax.dynamic_slice(
+        frames01, (0, sy, sx, 0), (b, th + 2 * pad, tw + 2 * pad, c))
+    up = mod.apply(variables, patch)
+    out = jax.lax.dynamic_slice(
+        up, (0, (start[0] - sy) * scale, (start[1] - sx) * scale, 0),
+        (b, th * scale, tw * scale, c))
+    if downscale:
+        out = resize(out.astype(jnp.float32), (th, tw), method="area")
+    return out
+
+
 def _tiled_rect(mod, variables, frames01, th: int, tw: int, pad: int,
-                scale: int = 4, downscale: bool = False):
+                scale: int = 4, downscale: bool = False,
+                mesh=None, mesh_axis: str = "data"):
     """Rectangular-tile variant of `upscale_tiled` (th x tw tiles).
 
     Halos CLAMP to the image bounds like RealESRGANer.tile_process
@@ -215,19 +238,34 @@ def _tiled_rect(mod, variables, frames01, th: int, tw: int, pad: int,
                          jnp.int32)
 
     def one(start):
-        sy = jnp.clip(start[0] - pad, 0, h - (th + 2 * pad))
-        sx = jnp.clip(start[1] - pad, 0, w - (tw + 2 * pad))
-        patch = jax.lax.dynamic_slice(
-            frames01, (0, sy, sx, 0), (b, th + 2 * pad, tw + 2 * pad, c))
-        up = mod.apply(variables, patch)
-        out = jax.lax.dynamic_slice(
-            up, (0, (start[0] - sy) * scale, (start[1] - sx) * scale, 0),
-            (b, th * scale, tw * scale, c))
-        if downscale:
-            out = resize(out.astype(jnp.float32), (th, tw), method="area")
-        return out
+        return _one_tile(mod, variables, frames01, start, th, tw, pad,
+                         scale, downscale)
 
     oh, ow = (th, tw) if downscale else (th * scale, tw * scale)
-    tiles = jax.lax.map(one, starts)  # (ny*nx, B, oh, ow, C)
+    if mesh is None:
+        tiles = jax.lax.map(one, starts)  # (ny*nx, B, oh, ow, C)
+    else:
+        # shard the tile axis: each device lax.maps its contiguous
+        # subset (same per-device memory profile as single-chip);
+        # closures can't cross shard_map, so frames/vars ride as
+        # replicated args
+        from jax.sharding import PartitionSpec as P
+
+        if starts.shape[0] % mesh.shape[mesh_axis]:
+            raise ValueError(
+                f"{starts.shape[0]} tiles not divisible by mesh "
+                f"'{mesh_axis}' size {mesh.shape[mesh_axis]}")
+
+        def local(starts_local, frames_r, vars_r):
+            def one_r(start):
+                return _one_tile(mod, vars_r, frames_r, start, th, tw,
+                                 pad, scale, downscale)
+            return jax.lax.map(one_r, starts_local)
+
+        tiles = jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P(mesh_axis), P(), jax.tree.map(lambda _: P(),
+                                                      variables)),
+            out_specs=P(mesh_axis))(starts, frames01, variables)
     tiles = tiles.reshape(ny, nx, b, oh, ow, c)
     return tiles.transpose(2, 0, 3, 1, 4, 5).reshape(b, ny * oh, nx * ow, c)

@@ -102,6 +102,23 @@ def _run():
     got = jax.jit(lambda p, xx: moe_apply_expert_parallel(
         p, xx, mesh=mesh_ep, top_k=2, batch_axis="data"))(params, xe)
     _shards_match(got, ref, atol=1e-5)
+    print("data x expert ok")
+
+    # --- tile-axis sharding of the background upsampler --------------
+    from ghost_tpu.core.precision import FULL_PRECISION
+    from ghost_tpu.models.sr.rrdb import RRDBNet
+    from ghost_tpu.pipeline.enhance import upscale_tiled
+
+    mesh_tiles = Mesh(devs.reshape(8), ("data",))
+    net = RRDBNet(num_feat=8, num_block=2, num_grow_ch=4, scale=4,
+                  policy=FULL_PRECISION)
+    frames = jnp.asarray(rng.random((2, 16, 16, 3), np.float32))
+    nv = net.init(jax.random.key(2), frames[:1, :8, :8])
+    ref = np.asarray(upscale_tiled(net, nv, frames, tile=(4, 4),
+                                   tile_pad=2))
+    got = jax.jit(lambda v_, f_: upscale_tiled(
+        net, v_, f_, tile=(4, 4), tile_pad=2, mesh=mesh_tiles))(nv, frames)
+    _shards_match(got, ref, atol=1e-5)
     print("P2D-OK")
 
 
