@@ -94,7 +94,7 @@ class FaceEnhancer:
     def __init__(self, det, gfpgan, bg=None, det_size: int = 640,
                  det_thresh: float = 0.5, max_faces: int = 4,
                  crop_size: int = 512, bg_tile: tuple[int, int] = (270, 240),
-                 bg_tile_pad: int = 10):
+                 bg_tile_pad: int = 10, bg_mesh=None):
         self.det_mod, det_vars = det
         self.gfp_mod, gfp_vars = gfpgan
         self.bg_mod, bg_vars = bg if bg is not None else (None, None)
@@ -104,6 +104,9 @@ class FaceEnhancer:
         self.crop_size = crop_size
         self.bg_tile = bg_tile
         self.bg_tile_pad = bg_tile_pad
+        # shard the background tile axis over this mesh's "data" axis
+        # (multi-chip hosts; tiles are independent — see upscale_tiled)
+        self.bg_mesh = bg_mesh
         self._vars = {"det": det_vars, "gfp": gfp_vars, "bg": bg_vars}
         self._mask = _soft_border_mask(crop_size)
         # paste-back rotation window must cover the rotated 512 crop
@@ -124,7 +127,7 @@ class FaceEnhancer:
         # average is tile-aligned, so per-tile downscale + stitch is
         # EXACT vs stitching the (un-storable) x4 canvas then resizing
         up = _tiled_rect(self.bg_mod, variables["bg"], x01, th, tw, pad,
-                         downscale=True)
+                         downscale=True, mesh=self.bg_mesh)
         return jnp.clip(up.astype(jnp.float32), 0.0, 1.0) * 255.0
 
     def _enhance_impl(self, variables, frames_u8, use_bg: bool):

@@ -119,6 +119,39 @@ def _run():
     got = jax.jit(lambda v_, f_: upscale_tiled(
         net, v_, f_, tile=(4, 4), tile_pad=2, mesh=mesh_tiles))(nv, frames)
     _shards_match(got, ref, atol=1e-5)
+    print("tile sharding ok")
+
+    # --- FaceEnhancer(bg_mesh=...) full chunk program -----------------
+    # (compare the jitted impl per shard; .enhance()'s np.asarray of a
+    # multi-device output is host-materialization, unsafe on this
+    # backend but fine on real TPU hosts)
+    from ghost_tpu.models.scrfd import SCRFD
+    from ghost_tpu.models.sr.gfpgan import GFPGANClean
+    from ghost_tpu.pipeline.enhance import FaceEnhancer
+
+    key = jax.random.key(0)
+    det = SCRFD()
+    det_vars = det.init(key, jnp.zeros((1, 128, 128, 3)))
+    gfp = GFPGANClean(out_size=64, num_style_feat=32,
+                      channel_multiplier=2, num_mlp=2, narrow=0.25)
+    gfp_vars = gfp.init(key, jnp.zeros((1, 64, 64, 3)))
+    bgn = RRDBNet(num_feat=8, num_block=1, num_grow_ch=4, scale=4)
+    bg_vars = bgn.init(key, jnp.zeros((1, 16, 16, 3)))
+    frames_u8 = jnp.asarray(
+        rng.integers(0, 255, (2, 96, 128, 3)).astype(np.uint8))
+
+    kw = dict(det_size=128, max_faces=1, crop_size=64,
+              bg_tile=(48, 32), bg_tile_pad=4)
+    enh0 = FaceEnhancer((det, det_vars), (gfp, gfp_vars), (bgn, bg_vars),
+                        **kw)
+    ref = np.asarray(enh0._enhance_j(enh0._vars, frames_u8, use_bg=True))
+    enh1 = FaceEnhancer((det, det_vars), (gfp, gfp_vars), (bgn, bg_vars),
+                        bg_mesh=mesh_tiles, **kw)
+    got = enh1._enhance_j(enh1._vars, frames_u8, use_bg=True)
+    for sh in got.addressable_shards:
+        diff = np.abs(np.asarray(sh.data).astype(np.int32)
+                      - ref[sh.index].astype(np.int32))
+        assert diff.max() <= 1, diff.max()  # u8 rounding at shard joins
     print("P2D-OK")
 
 
