@@ -237,6 +237,16 @@ def main(argv=None):
         f"{args.run_name}_ckpt" if not args.run_name.startswith("/")
         else args.run_name
     )
+    start_iteration = 0
+    if ckpt.latest_step() is not None:
+        # restart-after-preemption (or plain rerun): restore the FULL
+        # train state (params + optimizer moments + loss scale) and
+        # continue the iteration count — exact resume, which the
+        # reference cannot do (it drops optimizer state,
+        # reference train.py:449-456)
+        start_iteration = ckpt.latest_step() + 1
+        state = ckpt.restore(like=state)
+        print(f"resuming from checkpoint step {start_iteration - 1}")
     loop_cfg = LoopConfig(
         max_epochs=args.max_epochs, d_interval=args.d_interval,
         show_step=args.show_step, save_interval=args.save_interval,
@@ -249,7 +259,8 @@ def main(argv=None):
         state, metrics = train_loop(state, g_step, d_step, batch_iter,
                                     loop_cfg, checkpoint_manager=ckpt,
                                     max_steps=args.max_steps,
-                                    preemption=guard)
+                                    preemption=guard,
+                                    start_iteration=start_iteration)
     print("final:", metrics)
 
 

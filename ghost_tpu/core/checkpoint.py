@@ -56,7 +56,7 @@ class CheckpointManager:
             ),
         )
 
-    def save(self, step: int, state: Any) -> None:
+    def save(self, step: int, state: Any, force: bool = False) -> None:
         # jax.Arrays pass through as-is: orbax serializes per
         # addressable shard, which is what makes ZeRO/mesh-sharded
         # train state checkpointable (a host device_get of a
@@ -64,8 +64,14 @@ class CheckpointManager:
         # aborts outright on some backends; see
         # tests/test_checkpoint_sharded.py). Non-array leaves
         # (ints/floats) are fine either way.
+        #
+        # force: orbax's should_save() silently no-ops when the
+        # directory already holds a later-or-equal step (a restarted
+        # run that hasn't caught up yet); force=True saves anyway
+        # (orbax still refuses to overwrite an existing identical
+        # step). Preemption saves must use it.
         self.manager.save(
-            step, args=self._ocp.args.StandardSave(state)
+            step, args=self._ocp.args.StandardSave(state), force=force
         )
         self.manager.wait_until_finished()
 

@@ -42,6 +42,18 @@ def make_mesh(
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
 
+def make_mesh_1d(axis: str, num_devices: int,
+                 devices: Sequence[jax.Device] | None = None) -> Mesh:
+    """A 1-D (axis,) mesh over the first `num_devices` devices — the
+    shared constructor behind parallel.{pp,sp,ep}'s named helpers."""
+    if devices is None:
+        devices = jax.devices()
+    if len(devices) < num_devices:
+        raise ValueError(
+            f"need {num_devices} devices, have {len(devices)}")
+    return Mesh(np.asarray(devices[:num_devices]), (axis,))
+
+
 def data_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
     """Shard the leading (batch) dim across the data axis."""
     spec = P(DATA_AXIS, *([None] * (ndim - 1)))

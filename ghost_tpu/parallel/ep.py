@@ -24,7 +24,6 @@ from __future__ import annotations
 from typing import Sequence
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ghost_tpu.nn.moe import expert_contrib, gate_weights
@@ -35,13 +34,9 @@ EXPERT_AXIS = "expert"
 def make_expert_mesh(num_devices: int,
                      devices: Sequence[jax.Device] | None = None) -> Mesh:
     """A 1-D ("expert",) mesh over the first `num_devices` devices."""
-    import numpy as np
+    from ghost_tpu.core.mesh import make_mesh_1d
 
-    if devices is None:
-        devices = jax.devices()
-    if len(devices) < num_devices:
-        raise ValueError(f"need {num_devices} devices, have {len(devices)}")
-    return Mesh(np.asarray(devices[:num_devices]), (EXPERT_AXIS,))
+    return make_mesh_1d(EXPERT_AXIS, num_devices, devices)
 
 
 def moe_apply_expert_parallel(params: dict, x: jax.Array, *,

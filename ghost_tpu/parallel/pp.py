@@ -55,13 +55,13 @@ def mark_varying(tree: Any, axis: str | tuple[str, ...]) -> Any:
             return set()
 
     def f(v):
-        if pcast is None:
-            return jax.lax.pvary(v, axes)
-        # pcast rejects axes already varying — mark only the missing
-        # ones (e.g. zeros_like(x) inherits x's axes on a 2-D mesh)
+        # marking an already-varying axis is rejected (pcast) or
+        # undefined (pvary) — mark only the missing ones (e.g.
+        # zeros_like(x) inherits x's axes on a 2-D mesh)
         for a in axes:
             if a not in _vma(v):
-                v = pcast(v, (a,), to="varying")
+                v = (pcast(v, (a,), to="varying") if pcast is not None
+                     else jax.lax.pvary(v, (a,)))
         return v
 
     return jax.tree.map(f, tree)
@@ -70,13 +70,9 @@ def mark_varying(tree: Any, axis: str | tuple[str, ...]) -> Any:
 def make_pipe_mesh(num_stages: int,
                    devices: Sequence[jax.Device] | None = None) -> Mesh:
     """A 1-D ("pipe",) mesh over the first `num_stages` devices."""
-    import numpy as np
+    from ghost_tpu.core.mesh import make_mesh_1d
 
-    if devices is None:
-        devices = jax.devices()
-    if len(devices) < num_stages:
-        raise ValueError(f"need {num_stages} devices, have {len(devices)}")
-    return Mesh(np.asarray(devices[:num_stages]), (PIPE_AXIS,))
+    return make_mesh_1d(PIPE_AXIS, num_stages, devices)
 
 
 def stack_block_params(blocks: Sequence[Any]) -> Any:
@@ -157,32 +153,28 @@ def pipeline_apply(
                     h = y_b
             return h
 
-        def tick(carry, t):
-            state, out = carry
+        def tick(state, t):
             # stage 0 ingests microbatch t while t < M
             inp = jax.lax.dynamic_slice_in_dim(
                 xm, jnp.clip(t, 0, m - 1), 1, 0)[0]
             h = jnp.where(jnp.logical_and(idx == 0, t < m), inp, state)
             y = run_blocks(h)
-            # the last stage emits microbatch t-(S-1) from tick S-1 on
-            out_t = t - s_last
-            upd = jax.lax.dynamic_update_slice_in_dim(
-                out, y[None], jnp.maximum(out_t, 0), 0)
-            write = jnp.logical_and(idx == s_last, out_t >= 0)
-            out = jnp.where(write, upd, out)
             # shift activations one stage downstream (rides ICI)
             nxt = jax.lax.ppermute(
                 y, axis, [(i, i + 1) for i in range(num_stages - 1)])
-            return (nxt, out), None
+            return nxt, y
 
         # the carry mixes axis_index/ppermute (pipe-varying) with xm
         # (also batch_axis-varying on a 2-D mesh)
         vaxes = (axis,) + ((batch_axis,) if batch_axis else ())
         state0 = mark_varying(jnp.zeros(xm.shape[1:], xm.dtype), vaxes)
-        out0 = mark_varying(jnp.zeros_like(xm), vaxes)
-        (_, out), _ = jax.lax.scan(
-            tick, (state0, out0), jnp.arange(m + num_stages - 1))
-        # results live on the last stage only; psum replicates them
+        _, ys = jax.lax.scan(
+            tick, state0, jnp.arange(m + num_stages - 1))
+        # the last stage emits microbatch t-(S-1) at tick t, so its
+        # ys[S-1:] are the M results in order (scan stacks them — no
+        # per-tick whole-buffer update in the carry); other stages'
+        # ys are intermediate wavefronts, masked out by the psum
+        out = ys[s_last:]
         mask = (idx == s_last).astype(out.dtype)
         return jax.lax.psum(out * mask, axis)
 

@@ -45,13 +45,9 @@ _NEG = -1e30  # finite "-inf": masked-row algebra stays NaN-free
 def make_seq_mesh(num_devices: int,
                   devices: Sequence[jax.Device] | None = None) -> Mesh:
     """A 1-D ("seq",) mesh over the first `num_devices` devices."""
-    import numpy as np
+    from ghost_tpu.core.mesh import make_mesh_1d
 
-    if devices is None:
-        devices = jax.devices()
-    if len(devices) < num_devices:
-        raise ValueError(f"need {num_devices} devices, have {len(devices)}")
-    return Mesh(np.asarray(devices[:num_devices]), (SEQ_AXIS,))
+    return make_mesh_1d(SEQ_AXIS, num_devices, devices)
 
 
 def _block_update(carry, q, k, v, scale, mask):

@@ -202,7 +202,25 @@ class FaceEnhancer:
         frames = jnp.asarray(np.ascontiguousarray(frames_rgb_u8))
         out = self._enhance_j(self._vars, frames,
                               use_bg=self.bg_mod is not None)
+        return _to_host(out)
+
+
+def _to_host(out) -> np.ndarray:
+    """Device array -> numpy without whole-array materialization.
+
+    With bg_mesh the program output lives sharded across devices;
+    np.asarray on a multi-device array aborts some backends (CLAUDE.md
+    measured fact) and raises on non-fully-addressable multi-host
+    arrays — assemble from addressable shards instead (covers the full
+    array on single-host; each host gets its addressable portion on
+    multi-host)."""
+    sharding = getattr(out, "sharding", None)
+    if sharding is None or len(getattr(out, "devices", lambda: [0])()) <= 1:
         return np.asarray(out)
+    buf = np.empty(out.shape, jax.dtypes.canonicalize_dtype(out.dtype))
+    for sh in out.addressable_shards:
+        buf[sh.index] = np.asarray(sh.data)
+    return buf
 
 
 def _one_tile(mod, variables, frames01, start, th, tw, pad, scale,

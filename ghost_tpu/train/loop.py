@@ -66,6 +66,7 @@ def train_loop(
     checkpoint_manager=None,
     max_steps: Optional[int] = None,
     preemption=None,
+    start_iteration: int = 0,
 ):
     """Run the GAN loop. Returns final state.
 
@@ -77,7 +78,10 @@ def train_loop(
     jit_g = jax.jit(g_step)
     jit_d = jax.jit(d_step)
     mults = default_distill_mults()
-    iteration = 0
+    # resuming a restored run continues the iteration count so
+    # save_interval snapshots don't collide with (and get no-op'd by)
+    # already-written steps
+    iteration = start_iteration
     last_metrics: dict = {}
     t0 = time.time()
 
@@ -137,9 +141,15 @@ def train_loop(
 
             if preemption is not None and preemption.triggered:
                 # SIGTERM latched (train/preempt.py): save the full
-                # state for exact resume and stop cleanly
-                if checkpoint_manager is not None:
-                    checkpoint_manager.save(iteration, state)
+                # state for exact resume and stop cleanly. force=True:
+                # a restarted-then-repreempted run may still be below
+                # the directory's latest step, where a plain save is a
+                # silent orbax no-op.
+                if checkpoint_manager is not None \
+                        and iteration != getattr(
+                            checkpoint_manager, "latest_step",
+                            lambda: None)():
+                    checkpoint_manager.save(iteration, state, force=True)
                 print(f"train_loop: preemption signal; saved step "
                       f"{iteration} and stopping")
                 return state, last_metrics

@@ -81,6 +81,30 @@ def test_no_signal_runs_to_completion(tmp_path):
     assert float(final["w"][0]) == 3.0
 
 
+def test_resume_continues_iteration(tmp_path):
+    """Restart-after-preemption flow: restore the saved state and
+    continue the iteration count, so later save_interval snapshots
+    land on NEW steps (a restarted count would collide with existing
+    steps and be silently no-op'd by orbax's should_save)."""
+    import dataclasses
+
+    state, g_step, d_step, batch, cfg = _tiny_loop_parts(tmp_path)
+    cfg = dataclasses.replace(cfg, save_interval=2)
+    mgr = CheckpointManager(str(tmp_path / "ck"), keep=3)
+    final, _ = train_loop(state, g_step, d_step,
+                          lambda: iter([batch] * 5), cfg,
+                          checkpoint_manager=mgr, max_steps=5)
+    assert mgr.latest_step() == 4
+    restored = mgr.restore(like=final)
+    assert float(restored["w"][0]) == 5.0
+    final2, _ = train_loop(restored, g_step, d_step,
+                           lambda: iter([batch] * 5), cfg,
+                           checkpoint_manager=mgr, max_steps=8,
+                           start_iteration=5)
+    assert float(final2["w"][0]) == 8.0  # steps 5, 6, 7 ran
+    assert mgr.latest_step() == 6  # snapshot landed on a new step
+
+
 def test_handler_chains_to_previous(tmp_path):
     seen = []
     prev = signal.signal(signal.SIGTERM, lambda s, f: seen.append(s))
