@@ -71,6 +71,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_workers", default=8, type=int)
     p.add_argument("--max_steps", default=None, type=int)
     p.add_argument("--bf16", default=True, type=str2bool)
+    p.add_argument("--resume", default=True, type=str2bool,
+                   help="auto-resume from the run_name checkpoint dir "
+                        "when it holds a step (exact: full train state "
+                        "incl. optimizer moments). --resume 0 starts "
+                        "fresh; use a new --run_name to keep the old "
+                        "snapshots (saves below the dir's latest step "
+                        "are skipped by orbax)")
     p.add_argument("--width", default=1.0, type=float)
     p.add_argument("--arcface_depth", default="iresnet100",
                    choices=["iresnet34", "iresnet50", "iresnet100", "tiny"],
@@ -239,14 +246,19 @@ def main(argv=None):
     )
     start_iteration = 0
     if ckpt.latest_step() is not None:
-        # restart-after-preemption (or plain rerun): restore the FULL
-        # train state (params + optimizer moments + loss scale) and
-        # continue the iteration count — exact resume, which the
-        # reference cannot do (it drops optimizer state,
-        # reference train.py:449-456)
-        start_iteration = ckpt.latest_step() + 1
-        state = ckpt.restore(like=state)
-        print(f"resuming from checkpoint step {start_iteration - 1}")
+        if args.resume:
+            # restart-after-preemption (or plain rerun): restore the
+            # FULL train state (params + optimizer moments + loss
+            # scale) and continue the iteration count — exact resume,
+            # which the reference cannot do (it drops optimizer state,
+            # reference train.py:449-456)
+            start_iteration = ckpt.latest_step() + 1
+            state = ckpt.restore(like=state)
+            print(f"resuming from checkpoint step {start_iteration - 1}")
+        else:
+            print(f"WARNING: --resume 0 with existing checkpoints at "
+                  f"step {ckpt.latest_step()}; starting fresh — saves "
+                  f"at already-written steps will be skipped")
     loop_cfg = LoopConfig(
         max_epochs=args.max_epochs, d_interval=args.d_interval,
         show_step=args.show_step, save_interval=args.save_interval,

@@ -152,6 +152,14 @@ def _run():
         diff = np.abs(np.asarray(sh.data).astype(np.int32)
                       - ref[sh.index].astype(np.int32))
         assert diff.max() <= 1, diff.max()  # u8 rounding at shard joins
+
+    # _to_host assembles the same sharded output per shard (the path
+    # FaceEnhancer.enhance takes when bg_mesh is set)
+    from ghost_tpu.pipeline.enhance import _to_host
+
+    buf = _to_host(got)
+    assert buf.shape == ref.shape and buf.dtype == ref.dtype
+    assert np.abs(buf.astype(np.int32) - ref.astype(np.int32)).max() <= 1
     print("P2D-OK")
 
 
