@@ -232,3 +232,59 @@ class CelebAStyleDataset(_PairDataset):
         xt = self._maybe_flip(_imread_rgb(rng.choice(xt_pool)))
         return self._assemble(np.ascontiguousarray(xs),
                               np.ascontiguousarray(xt), 0, rng)
+
+
+class MaskTargetDataset:
+    """(aligned crop, precomputed soft-mask target) pairs for the mask
+    trainer (reference train-mask.py:236-308 computes SAM targets
+    inline per batch; here targets are precomputed once by
+    `cli/precompute_masks.py` — hull or native-SAM — and paired by
+    basename: `crops/x.jpg` <-> `masks/x.png` or `masks/x.npy`).
+
+    Emits per item: xt (256 pm1), xs_arcface (224 pm1, same image —
+    train-mask embeds the target itself), mask (256,256,1 in [0,1]).
+    """
+
+    def __init__(self, data_path: str, mask_path: str, seed: int = 0):
+        self.pairs: List[tuple] = []
+        for f in sorted(glob.glob(os.path.join(data_path, "*.*g"))):
+            base = os.path.splitext(os.path.basename(f))[0]
+            for ext in (".png", ".npy", ".jpg"):
+                m = os.path.join(mask_path, base + ext)
+                if os.path.exists(m):
+                    self.pairs.append((f, m))
+                    break
+        if not self.pairs:
+            raise ValueError(
+                f"no (image, mask) basename pairs between {data_path} "
+                f"and {mask_path}")
+        self.rng = random.Random(seed)
+
+    def __len__(self):
+        return len(self.pairs)
+
+    @staticmethod
+    def _read_mask(path: str) -> np.ndarray:
+        if path.endswith(".npy"):
+            m = np.load(path).astype(np.float32)
+            if m.max() > 1.5:  # stored as 0..255
+                m = m / 255.0
+        else:
+            m = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
+            if m is None:
+                raise FileNotFoundError(path)
+            m = m.astype(np.float32) / 255.0
+        if m.ndim == 3:
+            m = m[..., 0]
+        return np.clip(
+            cv2.resize(m, (256, 256), interpolation=cv2.INTER_LINEAR),
+            0.0, 1.0)[..., None]
+
+    def __getitem__(self, idx: int):
+        img_path, mask_path = self.pairs[idx]
+        img = _imread_rgb(img_path).astype(np.float32)
+        return {
+            "xt": _to_pm1(_resize(img, 256)),
+            "xs_arcface": _to_pm1(_resize(img, 224)),
+            "mask": self._read_mask(mask_path),
+        }
