@@ -57,6 +57,40 @@ def build_parser() -> argparse.ArgumentParser:
                    help="reference-parity flag: ANY non-empty value (even 'False') enables; omit to disable")
     p.add_argument("--eye_detector_loss", default=False, type=bool,
                    help="reference-parity flag: ANY non-empty value (even 'False') enables; omit to disable")
+    p.add_argument("--scheduler", default=False, type=str2bool,
+                   help="StepLR on both optimizers (reference "
+                        "train.py:473-508)")
+    p.add_argument("--scheduler_step", default=5000, type=int)
+    p.add_argument("--scheduler_gamma", default=0.2, type=float)
+    # distill-regime switches (reference train.py:276-377,593-601)
+    p.add_argument("--teacher_fine_tune", default=False, type=str2bool,
+                   help="distill: optimize the teacher residual only, "
+                        "x1000 (reference train.py:375-377)")
+    p.add_argument("--teacher_inner_crop", default=False, type=str2bool,
+                   help="distill: teacher residual on the central face "
+                        "crop (reference train.py:277-291)")
+    p.add_argument("--teacher_lower_signal", default=False, type=str2bool,
+                   help="distill: fixed low teacher/id_hq/multi-round "
+                        "multipliers (reference train.py:346-349)")
+    p.add_argument("--without_teacher_loss", default=False, type=str2bool,
+                   help="distill: drop teacher/id_hq/eyes terms "
+                        "(reference train.py:340-344)")
+    p.add_argument("--teacher_upsample", default=False, type=str2bool,
+                   help="distill: enhance teacher outputs with the SR "
+                        "upscaler before the residual (reference "
+                        "train.py:228-229 via GFPGAN/RealESRGAN; "
+                        "natively LIPSPADE --sr_path)")
+    p.add_argument("--sr_path", default="",
+                   help="LIPSPADE weights for --teacher_upsample "
+                        "(converted 10_net_G.pth or msgpack; empty = "
+                        "random, smoke only)")
+    p.add_argument("--sr_ngf", default=48, type=int)
+    # CelebA-mode filters (reference train.py:597-600, Dataset.py:169-283)
+    p.add_argument("--fine_tune_filter", default=None, type=str)
+    p.add_argument("--into_data_path", default=None, type=str)
+    p.add_argument("--only_attractive", default=False, type=str2bool)
+    p.add_argument("--normalize_training_images", default=False,
+                   type=str2bool)
     p.add_argument("--fan_path", default="", help="FAN weights (msgpack)")
     p.add_argument("--fan_stacks", default=4, type=int,
                    help="FAN hourglass stacks (4 = reference WFLW_4HG)")
@@ -163,6 +197,12 @@ def main(argv=None):
         lr_g=args.lr_G, lr_d=args.lr_D, b1=args.b1, b2=args.b2,
         weight_decay=args.weight_decay, d_interval=args.d_interval,
         mode=mode, eye_loss=args.eye_detector_loss,
+        scheduler=args.scheduler, scheduler_step=args.scheduler_step,
+        scheduler_gamma=args.scheduler_gamma,
+        teacher_inner_crop=args.teacher_inner_crop,
+        teacher_fine_tune=args.teacher_fine_tune,
+        teacher_lower_signal=args.teacher_lower_signal,
+        without_teacher_loss=args.without_teacher_loss,
     )
     weights = GeneratorLossWeights(
         adv=args.weight_adv, attr=args.weight_attr, id=args.weight_id,
@@ -206,7 +246,11 @@ def main(argv=None):
     state = init_train_state(g_vars, d_vars, step_cfg)
 
     if args.celeba:
-        ds = CelebAStyleDataset(args.dataset_path)
+        ds = CelebAStyleDataset(
+            args.dataset_path, fine_tune_filter=args.fine_tune_filter,
+            into_data_path=args.into_data_path,
+            only_attractive=args.only_attractive,
+            normalize_pm1=args.normalize_training_images)
     elif args.vgg_dataset:
         ds = FaceEmbedVGG2Dataset(args.dataset_path,
                                   same_prob=1 - args.same_person,
@@ -229,6 +273,31 @@ def main(argv=None):
         from ghost_tpu.train.distill import build_inswapper_teacher
 
         teacher = build_inswapper_teacher(args.teacher_onnx)
+        if args.teacher_upsample:
+            from ghost_tpu.models.sr.generator import LIPSPADEGenerator
+            from ghost_tpu.train.distill import UpsampledTeacher
+            from ghost_tpu.train.extra_trainers import sr_upscale_fn
+
+            sr = LIPSPADEGenerator(ngf=args.sr_ngf, policy=policy)
+            if args.sr_path.endswith(".pth"):
+                from ghost_tpu.convert.torch_loader import (
+                    convert_spade_generator_state_dict,
+                    load_torch_checkpoint)
+
+                sr_vars = jax.tree.map(
+                    jnp.asarray, convert_spade_generator_state_dict(
+                        load_torch_checkpoint(args.sr_path),
+                        ngf=args.sr_ngf))
+            elif args.sr_path:
+                from ghost_tpu.core.checkpoint import load_msgpack
+
+                sr_vars = load_msgpack(args.sr_path)
+            else:
+                print("WARNING: random SR weights for --teacher_upsample")
+                sr_vars = sr.init(jax.random.key(2),
+                                  jnp.zeros((1, 256, 256, 3)))
+            teacher = UpsampledTeacher(
+                teacher, jax.jit(sr_upscale_fn(sr, sr_vars)))
 
     def batch_iter():
         # fresh iterator per epoch: a one-shot generator here would

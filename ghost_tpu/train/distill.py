@@ -108,6 +108,25 @@ class OnnxInswapperTeacher:
         return {"teacher_y": out * 2.0 - 1.0}
 
 
+class UpsampledTeacher:
+    """--teacher_upsample (reference train.py:228-229): teacher outputs
+    are routed through the SR upscaler before the residual loss. The
+    reference wraps GFPGAN/RealESRGAN `upscale`
+    (utils/training/upsampler.py:107-120); natively any jitted
+    (B,256,256,3) pm1 -> pm1 enhancer works (extra_trainers
+    .sr_upscale_fn over LIPSPADE is the CLI default)."""
+
+    def __init__(self, teacher, upscale_fn):
+        self.teacher = teacher
+        self.upscale_fn = upscale_fn
+
+    def __call__(self, xt_256_pm1, source_embed):
+        out = self.teacher(xt_256_pm1, source_embed)
+        out["teacher_y"] = np.asarray(
+            self.upscale_fn(out["teacher_y"]), np.float32)
+        return out
+
+
 def build_inswapper_teacher(model_path: str):
     """Best-available inswapper_128 teacher for --mode distill.
 

@@ -21,18 +21,32 @@ import optax
 
 
 def ghost_adam(
-    lr: float = 4e-4,
+    lr=4e-4,
     b1: float = 0.0,
     b2: float = 0.999,
     weight_decay: float = 1e-4,
     eps: float = 1e-8,
 ) -> optax.GradientTransformation:
-    """torch.optim.Adam parity (L2-coupled weight decay)."""
+    """torch.optim.Adam parity (L2-coupled weight decay).
+
+    lr may be a float or an optax schedule (step count -> lr), e.g.
+    `step_lr(...)` for the reference's StepLR option."""
     return optax.chain(
         optax.add_decayed_weights(weight_decay) if weight_decay else optax.identity(),
         optax.scale_by_adam(b1=b1, b2=b2, eps=eps),
-        optax.scale(-lr),
+        optax.scale_by_learning_rate(lr),
     )
+
+
+def step_lr(lr: float, step_size: int, gamma: float):
+    """torch.optim.lr_scheduler.StepLR parity: lr * gamma^(step //
+    step_size) (reference train.py:473-508 steps it once per iteration,
+    so `step` here is the optimizer update count)."""
+
+    def schedule(count):
+        return lr * gamma ** (count // step_size)
+
+    return schedule
 
 
 def fused_lamb(

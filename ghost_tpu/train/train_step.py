@@ -57,11 +57,32 @@ class TrainStepConfig:
     d_interval: int = 10
     mode: str = "canonical"  # canonical | distill | self_distill | round_trip
     eye_loss: bool = False
+    # StepLR on both optimizers (reference train.py:473-508)
+    scheduler: bool = False
+    scheduler_step: int = 5000
+    scheduler_gamma: float = 0.2
+    # distill-regime switches (reference train.py:276-377)
+    teacher_inner_crop: bool = False  # residual on the central 7/32..21/32 crop (:277-291)
+    teacher_fine_tune: bool = False  # total = 1000*mult*teacher only (:375-377)
+    teacher_lower_signal: bool = False  # fixed low mults id_hq/teacher/multi (:346-349)
+    without_teacher_loss: bool = False  # drop teacher/id_hq/eyes terms (:340-344)
+
+
+def _make_txs(cfg: TrainStepConfig):
+    """G/D optimizers; shared by init_train_state and make_train_steps
+    so the opt-state trees always match."""
+    from ghost_tpu.train.optimizers import step_lr
+
+    lr_g, lr_d = cfg.lr_g, cfg.lr_d
+    if cfg.scheduler:
+        lr_g = step_lr(cfg.lr_g, cfg.scheduler_step, cfg.scheduler_gamma)
+        lr_d = step_lr(cfg.lr_d, cfg.scheduler_step, cfg.scheduler_gamma)
+    return (ghost_adam(lr_g, cfg.b1, cfg.b2, cfg.weight_decay),
+            ghost_adam(lr_d, cfg.b1, cfg.b2, cfg.weight_decay))
 
 
 def init_train_state(g_variables, d_variables, cfg: TrainStepConfig) -> TrainState:
-    g_tx = ghost_adam(cfg.lr_g, cfg.b1, cfg.b2, cfg.weight_decay)
-    d_tx = ghost_adam(cfg.lr_d, cfg.b1, cfg.b2, cfg.weight_decay)
+    g_tx, d_tx = _make_txs(cfg)
     return TrainState(
         step=jnp.int32(0),
         g_params=g_variables["params"],
@@ -115,8 +136,7 @@ def make_train_steps(
     train.py:239-247, loss on pupil channels 96/97 per
     utils/training/detector.py:24-28).
     """
-    g_tx = ghost_adam(cfg.lr_g, cfg.b1, cfg.b2, cfg.weight_decay)
-    d_tx = ghost_adam(cfg.lr_d, cfg.b1, cfg.b2, cfg.weight_decay)
+    g_tx, d_tx = _make_txs(cfg)
 
     def g_forward(params, stats, xt, z):
         variables = {"params": params, "batch_stats": stats}
@@ -192,7 +212,17 @@ def make_train_steps(
             else:
                 teacher_y = batch["teacher_y"]
             y2, _, _ = g_forward(g_params, new_stats, y, embed)
-            l_teacher = L.teacher_residual_loss(xt, teacher_y, y)
+            if cfg.teacher_inner_crop:
+                # central 56/128 crop of the face (reference
+                # train.py:277-291, crop 28:84 in 128-space; the same
+                # fraction at our native 256 residual is 56:168)
+                lo = xt.shape[1] * 28 // 128
+                hi = xt.shape[1] * 84 // 128
+                l_teacher = L.teacher_residual_loss(
+                    xt[:, lo:hi, lo:hi], teacher_y[:, lo:hi, lo:hi],
+                    y[:, lo:hi, lo:hi])
+            else:
+                l_teacher = L.teacher_residual_loss(xt, teacher_y, y)
             l_multi = L.multi_round_loss(y2, y)
             t_embed = batch.get("teacher_embed")
             l_id_hq = (
@@ -201,17 +231,30 @@ def make_train_steps(
             # reference train.py:313-377: total = universal * sum(mult_i * L_i)
             # with base mults id=3.5, id_hq=3.0, attr=3.0, teacher=30,
             # multi_round=3000, adv=0.5 (ratcheted host-side)
-            total = weights.universal * (
-                mults["id"] * l_id
-                + mults["id_hq"] * l_id_hq
-                + mults["attr"] * l_attr
-                + mults["teacher"] * l_teacher
-                + mults["multi_round"] * l_multi
-                + mults["adv"] * l_adv
-            )
-            if l_eyes is not None:
-                total = total + weights.universal * \
-                    mults.get("eyes", 1.0) * l_eyes
+            m_id_hq = mults["id_hq"]
+            m_teacher = mults["teacher"]
+            m_multi = mults["multi_round"]
+            if cfg.teacher_lower_signal:
+                # fixed low-signal overrides applied AFTER the host
+                # ratchets (reference train.py:346-349)
+                m_id_hq, m_teacher, m_multi = 0.1, 0.5, 50.0
+            zero = cfg.without_teacher_loss  # reference train.py:340-344
+            if cfg.teacher_fine_tune:
+                # teacher-only fine-tune: total = 1000*mult*teacher, no
+                # universal multiplier (reference train.py:375-377)
+                total = (m_teacher * 1000.0) * l_teacher
+            else:
+                total = weights.universal * (
+                    mults["id"] * l_id
+                    + (0.0 if zero else m_id_hq * l_id_hq)
+                    + mults["attr"] * l_attr
+                    + (0.0 if zero else m_teacher * l_teacher)
+                    + m_multi * l_multi
+                    + mults["adv"] * l_adv
+                )
+                if l_eyes is not None and not zero:
+                    total = total + weights.universal * \
+                        mults.get("eyes", 1.0) * l_eyes
             if cfg.mode == "round_trip":
                 # G(Y, embed_of_Xt) should reproduce Xt
                 # (reference train-roundtrip.py:104-105)
