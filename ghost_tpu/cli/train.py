@@ -57,6 +57,22 @@ def build_parser() -> argparse.ArgumentParser:
                    help="reference-parity flag: ANY non-empty value (even 'False') enables; omit to disable")
     p.add_argument("--eye_detector_loss", default=False, type=bool,
                    help="reference-parity flag: ANY non-empty value (even 'False') enables; omit to disable")
+    p.add_argument("--pretrained", default=True, type=bool,
+                   help="load --G_path/--D_path weights (reference "
+                        "train.py:512-521); type=bool parity wart: "
+                        "pass '' (empty) to disable")
+    p.add_argument("--verbose_output", default=False, type=bool,
+                   help="print the loss dashboard every iteration "
+                        "(reference train.py:602 'More print() when "
+                        "training'); parity wart: ANY non-empty value enables")
+    p.add_argument("--diff_eq_same", default=False, type=bool,
+                   help="accepted for flag parity; dead in the reference "
+                        "fork too (train.py:574 parses it, :218/:391 "
+                        "hardcode diff_person=ones)")
+    p.add_argument("--save_epoch", default=1, type=int,
+                   help="accepted for flag parity; dead in the reference "
+                        "fork too (train.py:588 parses it, never read — "
+                        "use --save_interval)")
     p.add_argument("--scheduler", default=False, type=str2bool,
                    help="StepLR on both optimizers (reference "
                         "train.py:473-508)")
@@ -154,7 +170,7 @@ def main(argv=None):
 
     gen = AEINet(backbone=args.backbone, num_blocks=args.num_blocks,
                  policy=policy, train=True, width=args.width)
-    if args.G_path.endswith(".pth"):
+    if args.pretrained and args.G_path.endswith(".pth"):
         from ghost_tpu.convert.torch_loader import (
             convert_aei_state_dict, load_torch_checkpoint)
 
@@ -167,7 +183,7 @@ def main(argv=None):
 
     disc = MultiscaleDiscriminator(n_layers=5, num_D=3, norm="instance",
                                    policy=policy)
-    if args.D_path.endswith(".pth"):
+    if args.pretrained and args.D_path.endswith(".pth"):
         from ghost_tpu.convert.torch_loader import (
             convert_discriminator_state_dict, load_torch_checkpoint)
 
@@ -333,6 +349,7 @@ def main(argv=None):
         show_step=args.show_step, save_interval=args.save_interval,
         run_name=args.run_name, distill=(mode != "canonical"),
         output_dir=args.output_dir,
+        print_interval=1 if args.verbose_output else 10,
     )
     from ghost_tpu.train.preempt import PreemptionGuard
 

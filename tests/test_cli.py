@@ -25,6 +25,29 @@ def test_inference_parser_reference_flags():
     assert args.crop_size == 224  # reference default
 
 
+def test_train_parser_reference_flags():
+    """Every reference train.py:554-616 flag is accepted (modulo the
+    documented renames: --vgg->--vgg_dataset, --celeb->--celeba,
+    --max_epoch->--max_epochs, --optim_level->--bf16)."""
+    from ghost_tpu.cli.train import build_parser
+
+    p = build_parser()
+    args = p.parse_args([
+        "--dataset_path", "/d", "--pretrained", "", "--verbose_output",
+        "x", "--diff_eq_same", "x", "--save_epoch", "3", "--scheduler",
+        "1", "--teacher_fine_tune", "1", "--teacher_inner_crop", "1",
+        "--teacher_lower_signal", "1", "--without_teacher_loss", "1",
+        "--teacher_upsample", "1", "--fine_tune_filter", "foo",
+        "--into_data_path", "/i", "--only_attractive", "1",
+        "--normalize_training_images", "1",
+    ])
+    assert args.pretrained is False  # '' is the only falsy spelling
+    assert args.verbose_output and args.diff_eq_same
+    assert args.save_epoch == 3 and args.scheduler
+    assert args.teacher_fine_tune and args.teacher_inner_crop
+    assert args.teacher_lower_signal and args.without_teacher_loss
+
+
 def test_export_parser():
     from ghost_tpu.cli.export import build_parser
 
