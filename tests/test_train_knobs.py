@@ -120,6 +120,24 @@ def test_inner_crop_changes_teacher_loss(models, rng):
     assert m_crop["L_teacher"] > 0
 
 
+def test_upsampled_teacher_wraps_output(rng):
+    """--teacher_upsample routes teacher_y through the upscale fn
+    (reference train.py:228-229); other keys pass through untouched."""
+    from ghost_tpu.train.distill import UpsampledTeacher
+
+    y = rng.uniform(-1, 1, (B, 8, 8, 3)).astype(np.float32)
+    emb = rng.standard_normal((B, 512), dtype=np.float32)
+
+    def fake_teacher(xt, embed):
+        return {"teacher_y": y, "teacher_embed": emb}
+
+    t = UpsampledTeacher(fake_teacher, lambda img: jnp.asarray(img) * 0.5)
+    out = t(np.zeros((B, 8, 8, 3), np.float32), emb)
+    np.testing.assert_allclose(out["teacher_y"], y * 0.5, rtol=1e-6)
+    assert out["teacher_y"].dtype == np.float32
+    np.testing.assert_array_equal(out["teacher_embed"], emb)
+
+
 def test_scheduler_decays_updates(models, rng):
     """With StepLR(step_size=1, gamma=0.1) the second Adam update is
     ~10x smaller than the first (bias-correction ratio aside)."""
