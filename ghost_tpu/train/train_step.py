@@ -225,9 +225,15 @@ def make_train_steps(
                 l_teacher = L.teacher_residual_loss(xt, teacher_y, y)
             l_multi = L.multi_round_loss(y2, y)
             t_embed = batch.get("teacher_embed")
-            l_id_hq = (
-                L.id_cosine_loss(t_embed, zy) if t_embed is not None else 0.0
-            )
+            if t_embed is None:
+                # reference train.py:156-160: PRED = netArc(area112(
+                # teacher_y)) under no_grad. The host teacher stage may
+                # supply it precomputed (OnnxInswapperTeacher); the
+                # native ONNX teacher returns only teacher_y, so
+                # compute it in-graph — never silently drop id_hq.
+                t_embed = jax.lax.stop_gradient(
+                    _embed112(arc_apply, teacher_y))
+            l_id_hq = L.id_cosine_loss(t_embed, zy)
             # reference train.py:313-377: total = universal * sum(mult_i * L_i)
             # with base mults id=3.5, id_hq=3.0, attr=3.0, teacher=30,
             # multi_round=3000, adv=0.5 (ratcheted host-side)

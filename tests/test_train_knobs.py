@@ -120,6 +120,27 @@ def test_inner_crop_changes_teacher_loss(models, rng):
     assert m_crop["L_teacher"] > 0
 
 
+def test_id_hq_computed_in_graph_when_embed_absent(models, rng):
+    """The native ONNX teacher supplies only teacher_y; id_hq must then
+    be computed in-graph as netArc(area112(teacher_y)) (reference
+    train.py:156-160), not silently dropped to 0."""
+    from ghost_tpu.nn.layers import resize
+
+    _, _, _, _, arc_apply = models
+    batch = distill_batch(rng)
+    host_embed = arc_apply(
+        resize(batch["teacher_y"], (112, 112), method="area"))
+
+    with_host = dict(batch, teacher_embed=host_embed)
+    without = {k: v for k, v in batch.items() if k != "teacher_embed"}
+
+    m_host = run_g(models, TrainStepConfig(mode="distill"), with_host)
+    m_graph = run_g(models, TrainStepConfig(mode="distill"), without)
+    assert m_graph["L_id_hq"] > 0
+    assert np.isclose(m_graph["L_id_hq"], m_host["L_id_hq"], rtol=1e-5)
+    assert np.isclose(m_graph["lossG"], m_host["lossG"], rtol=1e-5)
+
+
 def test_upsampled_teacher_wraps_output(rng):
     """--teacher_upsample routes teacher_y through the upscale fn
     (reference train.py:228-229); other keys pass through untouched."""
