@@ -54,8 +54,9 @@ def build_parser():
     p.add_argument("--save_every", default=1000, type=int)
     p.add_argument("--allow_random_weights", action="store_true",
                    help="random teacher (smoke tests only)")
-    p.add_argument("--bf16", default=True,
-                   type=lambda s: str(s).lower() not in ("0", "false"))
+    from ghost_tpu.cli import str2bool
+
+    p.add_argument("--bf16", default=True, type=str2bool)
     return p
 
 

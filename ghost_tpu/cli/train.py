@@ -294,26 +294,14 @@ def main(argv=None):
             from ghost_tpu.train.distill import UpsampledTeacher
             from ghost_tpu.train.extra_trainers import sr_upscale_fn
 
+            from ghost_tpu.train.extra_trainers import load_lipspade_vars
+
             sr = LIPSPADEGenerator(ngf=args.sr_ngf, policy=policy)
-            if args.sr_path.endswith(".pth"):
-                from ghost_tpu.convert.torch_loader import (
-                    convert_spade_generator_state_dict,
-                    load_torch_checkpoint)
-
-                sr_vars = jax.tree.map(
-                    jnp.asarray, convert_spade_generator_state_dict(
-                        load_torch_checkpoint(args.sr_path),
-                        ngf=args.sr_ngf))
-            elif args.sr_path:
-                from ghost_tpu.core.checkpoint import load_msgpack
-
-                sr_vars = load_msgpack(args.sr_path)
-            else:
-                print("WARNING: random SR weights for --teacher_upsample")
-                sr_vars = sr.init(jax.random.key(2),
-                                  jnp.zeros((1, 256, 256, 3)))
+            sr_vars = load_lipspade_vars(
+                sr, args.sr_path, args.sr_ngf,
+                warn_context="--teacher_upsample")
             teacher = UpsampledTeacher(
-                teacher, jax.jit(sr_upscale_fn(sr, sr_vars)))
+                teacher, sr_upscale_fn(sr, sr_vars, jit=True))
 
     def batch_iter():
         # fresh iterator per epoch: a one-shot generator here would

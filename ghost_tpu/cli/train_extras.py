@@ -129,8 +129,11 @@ def _load_arc(args, policy):
     else:
         print("WARNING: random ArcFace weights")
         a_vars = arc.init(jax.random.key(0), jnp.zeros((1, 112, 112, 3)))
-    return jax.jit(
-        lambda x: arc.apply(a_vars, resize(x, (112, 112), method="area")))
+    # weights ride as jit ARGUMENTS, not closure-captured HLO constants
+    # (the relay 413 rule — see SwapPipeline._vars)
+    jfn = jax.jit(
+        lambda v, x: arc.apply(v, resize(x, (112, 112), method="area")))
+    return lambda x: jfn(a_vars, x)
 
 
 def _epoch_batches(loader, embed_fn, max_epochs: int):
@@ -183,7 +186,8 @@ def main(argv=None):
             d_vars = disc.init(jax.random.key(1),
                                jnp.zeros((1, 256, 256, 3)))
         arc_apply = _load_arc(args, policy)
-        fake_fn = jax.jit(lambda xt, z: gen.apply(g_vars, xt, z)[0])
+        _fake = jax.jit(lambda v, xt, z: gen.apply(v, xt, z)[0])
+        fake_fn = lambda xt, z: _fake(g_vars, xt, z)
         step, tx = make_discriminator_pretrain_step(
             disc, lr=args.lr, loss_mult=args.loss_mult)
         step = jax.jit(step)
@@ -211,28 +215,16 @@ def main(argv=None):
     elif args.mode == "upsampler":
         from ghost_tpu.models.sr.generator import LIPSPADEGenerator
         from ghost_tpu.train.extra_trainers import (
-            make_upsampler_finetune_step, sr_upscale_fn)
+            load_lipspade_vars, make_upsampler_finetune_step,
+            sr_upscale_apply)
 
         gen, g_vars = _load_gen(args, policy, train=True)
         sr = LIPSPADEGenerator(ngf=args.sr_ngf, policy=policy)
-        if args.sr_path.endswith(".pth"):
-            from ghost_tpu.convert.torch_loader import (
-                convert_spade_generator_state_dict, load_torch_checkpoint)
-
-            sr_vars = jax.tree.map(
-                jnp.asarray, convert_spade_generator_state_dict(
-                    load_torch_checkpoint(args.sr_path), ngf=args.sr_ngf))
-        elif args.sr_path:
-            from ghost_tpu.core.checkpoint import load_msgpack
-
-            sr_vars = load_msgpack(args.sr_path)
-        else:
-            print("WARNING: random SR weights (--sr_path not given)")
-            sr_vars = sr.init(jax.random.key(2),
-                              jnp.zeros((1, 256, 256, 3)))
+        sr_vars = load_lipspade_vars(sr, args.sr_path, args.sr_ngf,
+                                     warn_context="--mode upsampler")
         arc_apply = _load_arc(args, policy)
         step, tx = make_upsampler_finetune_step(
-            gen, sr_upscale_fn(sr, sr_vars), lr=args.lr,
+            gen, sr_upscale_apply(sr), lr=args.lr,
             upsample_mult=args.upsample_mult)
         step = jax.jit(step)
         g_params, g_stats = g_vars["params"], g_vars["batch_stats"]
@@ -246,7 +238,7 @@ def main(argv=None):
         it = 0
         for b in _epoch_batches(loader, arc_apply, args.max_epochs):
             g_params, g_stats, g_opt, metrics = step(
-                g_params, g_stats, g_opt, jnp.asarray(b["xt"]),
+                g_params, g_stats, g_opt, sr_vars, jnp.asarray(b["xt"]),
                 jnp.asarray(b["embed"]))
             if it % args.show_step == 0:
                 print(f"step {it} loss {float(metrics['loss']):.4f} "

@@ -67,9 +67,13 @@ class CheckpointManager:
         #
         # force: orbax's should_save() silently no-ops when the
         # directory already holds a later-or-equal step (a restarted
-        # run that hasn't caught up yet); force=True saves anyway
-        # (orbax still refuses to overwrite an existing identical
-        # step). Preemption saves must use it.
+        # run that hasn't caught up yet). force=True must mean "this
+        # state IS step `step` from now on" — orbax still refuses to
+        # overwrite an existing identical step, so evict a colliding
+        # snapshot first (the old run's state at that step is stale
+        # once the new run reaches it). Preemption saves use this.
+        if force and step in set(self.manager.all_steps()):
+            self.manager.delete(step)
         self.manager.save(
             step, args=self._ocp.args.StandardSave(state), force=force
         )

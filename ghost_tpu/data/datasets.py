@@ -245,7 +245,7 @@ class MaskTargetDataset:
     train-mask embeds the target itself), mask (256,256,1 in [0,1]).
     """
 
-    def __init__(self, data_path: str, mask_path: str, seed: int = 0):
+    def __init__(self, data_path: str, mask_path: str):
         self.pairs: List[tuple] = []
         for f in sorted(glob.glob(os.path.join(data_path, "*.*g"))):
             base = os.path.splitext(os.path.basename(f))[0]
@@ -258,7 +258,6 @@ class MaskTargetDataset:
             raise ValueError(
                 f"no (image, mask) basename pairs between {data_path} "
                 f"and {mask_path}")
-        self.rng = random.Random(seed)
 
     def __len__(self):
         return len(self.pairs)

@@ -95,6 +95,11 @@ def ring_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
     n = mesh.shape[axis]
     if q.shape[1] % n:
         raise ValueError(f"seq {q.shape[1]} not divisible by {n} devices")
+    if k.shape[1] % n:
+        # cross-attention (MultiheadAttention kv != q) shards K/V with
+        # the same spec; fail with a diagnostic instead of an opaque
+        # shard_map sharding error
+        raise ValueError(f"kv seq {k.shape[1]} not divisible by {n} devices")
 
     def local_fn(q, k, v):
         idx = jax.lax.axis_index(axis)

@@ -53,31 +53,34 @@ def make_discriminator_pretrain_step(disc_mod, lr: float = 4e-4,
 
 def make_upsampler_finetune_step(
     gen_mod,
-    upscale_fn: Callable,
+    upscale_apply: Callable,
     vgg_apply: Optional[Callable] = None,
     lr: float = 4e-4,
     upsample_mult: float = 30000.0,
 ):
     """G fine-tune against upscaled self-outputs (train-upsampler.py).
 
-    upscale_fn: (B,256,256,3) pm1 -> (B,256,256,3) pm1 enhanced target
-    (stop-gradient applied here)."""
+    upscale_apply: (sr_vars, (B,256,256,3) pm1) -> (B,256,256,3) pm1
+    enhanced target (stop-gradient applied here). The upscaler's
+    variables ride through `step` as an argument so a jitted step does
+    not embed them as HLO constants (the relay 413 rule — see
+    SwapPipeline._vars)."""
     tx = ghost_adam(lr)
 
-    def loss_fn(g_params, g_stats, xt, embed):
+    def loss_fn(g_params, g_stats, sr_vars, xt, embed):
         (y, _), updates = gen_mod.apply(
             {"params": g_params, "batch_stats": g_stats}, xt, embed,
             mutable=["batch_stats"],
         )
-        target = jax.lax.stop_gradient(upscale_fn(y))
+        target = jax.lax.stop_gradient(upscale_apply(sr_vars, y))
         l_up = jnp.mean(jnp.square(y - target)) * upsample_mult
         l_color = multiscale_perceptual_color_loss(vgg_apply, y, target)
         return l_up + l_color, (updates["batch_stats"],
                                 {"upsample": l_up, "color": l_color})
 
-    def step(g_params, g_stats, g_opt, xt, embed):
+    def step(g_params, g_stats, g_opt, sr_vars, xt, embed):
         (loss, (new_stats, metrics)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(g_params, g_stats, xt, embed)
+            loss_fn, has_aux=True)(g_params, g_stats, sr_vars, xt, embed)
         updates, g_opt = tx.update(grads, g_opt, g_params)
         g_params = optax.apply_updates(g_params, updates)
         metrics["loss"] = loss
@@ -110,12 +113,14 @@ def make_mask_train_step(gen_mod, lr: float = 4e-4,
     return step, tx
 
 
-def sr_upscale_fn(sr_mod, sr_vars):
-    """LIPSPADE-based `upscale` (the native replacement of
-    utils/training/upsampler.py:107-120's GFPGAN/RealESRGAN round trip:
-    tensor -> enhance -> back to 256 pm1)."""
+def sr_upscale_apply(sr_mod):
+    """Two-argument `(sr_vars, y_pm1) -> y_pm1` LIPSPADE apply (the
+    native replacement of utils/training/upsampler.py:107-120's
+    GFPGAN/RealESRGAN round trip). Variables are an explicit argument
+    so jitted callers pass them as device buffers instead of embedding
+    ~M params as HLO constants (relay HTTP 413 rule)."""
 
-    def upscale(y_pm1):
+    def upscale(sr_vars, y_pm1):
         extra = [k for k in sr_vars if k != "params"]
         if extra:
             out, _ = sr_mod.apply(sr_vars, y_pm1, mutable=extra)
@@ -124,6 +129,35 @@ def sr_upscale_fn(sr_mod, sr_vars):
         return out
 
     return upscale
+
+
+def sr_upscale_fn(sr_mod, sr_vars, jit: bool = False):
+    """One-argument `y_pm1 -> y_pm1` upscale closure over `sr_vars`.
+    With jit=True the variables still ride as jit ARGUMENTS (bound
+    outside the compiled function), keeping the compile request small."""
+    apply = sr_upscale_apply(sr_mod)
+    fn = jax.jit(apply) if jit else apply
+    return lambda y_pm1: fn(sr_vars, y_pm1)
+
+
+def load_lipspade_vars(sr_mod, sr_path: str, ngf: int,
+                       warn_context: str = "SR"):
+    """LIPSPADE generator variables from a torch .pth (converted on
+    load), a flax msgpack snapshot, or random init with a warning.
+    Shared by cli/train.py (--teacher_upsample) and cli/train_extras.py
+    (--mode upsampler)."""
+    if sr_path and sr_path.endswith(".pth"):
+        from ghost_tpu.convert.torch_loader import (
+            convert_spade_generator_state_dict, load_torch_checkpoint)
+
+        return jax.tree.map(jnp.asarray, convert_spade_generator_state_dict(
+            load_torch_checkpoint(sr_path), ngf=ngf))
+    if sr_path:
+        from ghost_tpu.core.checkpoint import load_msgpack
+
+        return load_msgpack(sr_path)
+    print(f"WARNING: random SR weights ({warn_context})")
+    return sr_mod.init(jax.random.key(2), jnp.zeros((1, 256, 256, 3)))
 
 
 def external_upsampler_available() -> bool:

@@ -142,16 +142,18 @@ def train_loop(
             if preemption is not None and preemption.triggered:
                 # SIGTERM latched (train/preempt.py): save the full
                 # state for exact resume and stop cleanly. force=True:
-                # a restarted-then-repreempted run may still be below
-                # the directory's latest step, where a plain save is a
-                # silent orbax no-op.
-                if checkpoint_manager is not None \
-                        and iteration != getattr(
-                            checkpoint_manager, "latest_step",
-                            lambda: None)():
+                # a restarted-then-repreempted run may still be at or
+                # below the directory's latest step, where a plain save
+                # is a silent orbax no-op (and an equal step would
+                # collide with the old run's stale snapshot — the
+                # manager evicts it; see core/checkpoint.py).
+                if checkpoint_manager is not None:
                     checkpoint_manager.save(iteration, state, force=True)
-                print(f"train_loop: preemption signal; saved step "
-                      f"{iteration} and stopping")
+                    print(f"train_loop: preemption signal; saved step "
+                          f"{iteration} and stopping")
+                else:
+                    print("train_loop: preemption signal; no checkpoint "
+                          "dir configured, stopping without saving")
                 return state, last_metrics
 
             iteration += 1

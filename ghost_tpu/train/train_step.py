@@ -76,7 +76,15 @@ def _make_txs(cfg: TrainStepConfig):
     lr_g, lr_d = cfg.lr_g, cfg.lr_d
     if cfg.scheduler:
         lr_g = step_lr(cfg.lr_g, cfg.scheduler_step, cfg.scheduler_gamma)
-        lr_d = step_lr(cfg.lr_d, cfg.scheduler_step, cfg.scheduler_gamma)
+        # The reference steps scheduler_D once per ITERATION
+        # (train.py:473-508) while opt_D.step() only fires every
+        # d_interval iterations (train.py:396-407 accumulation branch).
+        # optax schedules count tx.update() calls, i.e. D updates — map
+        # D-update count k back to its iteration k*d_interval so D's lr
+        # decays on the reference's per-iteration clock, not d_interval
+        # times slower.
+        lr_d_iter = step_lr(cfg.lr_d, cfg.scheduler_step, cfg.scheduler_gamma)
+        lr_d = lambda count: lr_d_iter(count * cfg.d_interval)
     return (ghost_adam(lr_g, cfg.b1, cfg.b2, cfg.weight_decay),
             ghost_adam(lr_d, cfg.b1, cfg.b2, cfg.weight_decay))
 

@@ -42,13 +42,15 @@ def test_discriminator_pretrain(rng):
 
 def test_upsampler_finetune(tiny_gen, rng):
     gen, g_vars = tiny_gen
-    upscale = lambda y: jnp.clip(y * 1.1, -1, 1)  # stand-in enhancer
+    # stand-in enhancer; (sr_vars, y) contract — vars ride as jit args
+    upscale = lambda v, y: jnp.clip(y * v["gain"], -1, 1)
     step, tx = make_upsampler_finetune_step(gen, upscale)
     g_opt = tx.init(g_vars["params"])
+    sr_vars = {"gain": jnp.float32(1.1)}
     xt = jnp.asarray(rng.uniform(-1, 1, (2, 256, 256, 3)).astype(np.float32))
     emb = jnp.asarray(rng.standard_normal((2, 512)).astype(np.float32))
     params, stats, g_opt, metrics = jax.jit(step)(
-        g_vars["params"], g_vars["batch_stats"], g_opt, xt, emb)
+        g_vars["params"], g_vars["batch_stats"], g_opt, sr_vars, xt, emb)
     assert np.isfinite(float(metrics["loss"]))
 
 

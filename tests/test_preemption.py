@@ -105,6 +105,41 @@ def test_resume_continues_iteration(tmp_path):
     assert mgr.latest_step() == 6  # snapshot landed on a new step
 
 
+def test_preempt_overwrites_stale_equal_step(tmp_path):
+    """A fresh (--resume 0) run preempted at exactly a step an older
+    run already checkpointed must still persist ITS state: force=True
+    evicts the colliding stale snapshot (core/checkpoint.py) instead of
+    silently skipping the save while logging success."""
+    state, g_step, d_step, batch, cfg = _tiny_loop_parts(tmp_path)
+    mgr = CheckpointManager(str(tmp_path / "ck"), keep=3)
+    # old run: w counts 1.0/step, checkpoint at step 2 holds w=3
+    old_final, _ = train_loop(state, g_step, d_step,
+                              lambda: iter([batch] * 3), cfg, max_steps=3)
+    mgr.save(2, old_final)  # w=3 at step 2
+    assert mgr.latest_step() == 2
+
+    def g_step2(state, batch, mults):  # new run counts 10.0/step
+        new = {"w": state["w"] + 10.0}
+        return new, {"lossG": jnp.sum(new["w"])}, batch["xt"]
+
+    fired = []
+
+    def batches():
+        for i in range(100):
+            if i == 2 and not fired:
+                fired.append(True)
+                os.kill(os.getpid(), signal.SIGTERM)
+            yield batch
+
+    with PreemptionGuard() as guard:
+        final, _ = train_loop(state, g_step2, d_step, batches, cfg,
+                              checkpoint_manager=mgr, preemption=guard)
+    assert mgr.latest_step() == 2
+    restored = mgr.restore(like=final)
+    # the NEW run's state (w=30), not the stale old snapshot (w=3)
+    assert float(restored["w"][0]) == 30.0
+
+
 def test_handler_chains_to_previous(tmp_path):
     seen = []
     prev = signal.signal(signal.SIGTERM, lambda s, f: seen.append(s))

@@ -180,3 +180,30 @@ def test_scheduler_decays_updates(models, rng):
     d1 = max_delta(state.g_params, s1.g_params)
     d2 = max_delta(s1.g_params, s2.g_params)
     assert d2 < 0.5 * d1, (d1, d2)
+
+
+def test_scheduler_d_decays_on_iteration_clock(models, rng):
+    """The reference steps scheduler_D once per ITERATION while opt_D
+    only updates every d_interval iterations (train.py:396-407,
+    473-508). With scheduler_step == d_interval, D's lr must already be
+    decayed by gamma at its SECOND update (iteration d_interval) — not
+    after d_interval D-updates as a naive per-update schedule would."""
+    gen, g_vars, disc, d_vars, arc_apply = models
+    cfg = TrainStepConfig(mode="canonical", scheduler=True,
+                          scheduler_step=4, scheduler_gamma=0.1,
+                          d_interval=4, weight_decay=0.0)
+    g_step, d_step = make_train_steps(gen, disc, arc_apply, cfg)
+    state = init_train_state(g_vars, d_vars, cfg)
+    batch = {k: v for k, v in distill_batch(rng).items()
+             if k in ("xs", "xt", "embed", "same_person")}
+    _, _, y = g_step(state, batch)
+
+    def max_delta(a, b):
+        return max(jax.tree.leaves(jax.tree.map(
+            lambda x, y: float(jnp.max(jnp.abs(x - y))), a, b)))
+
+    s1, _ = d_step(state, y, batch["xs"])  # D update 0 -> iteration 0
+    s2, _ = d_step(s1, y, batch["xs"])     # D update 1 -> iteration 4
+    d1 = max_delta(state.d_params, s1.d_params)
+    d2 = max_delta(s1.d_params, s2.d_params)
+    assert d2 < 0.5 * d1, (d1, d2)
