@@ -49,15 +49,20 @@ DKV_BLOCK_CAP = 512
 
 def _fit_block(pref: int, s: int, quantum: int = 128) -> int:
     """Largest block <= pref that divides s (stepping down in lane
-    quanta), so seqlens like 640 keep working under the larger tuned
-    defaults exactly as they did under 128."""
-    b = min(pref, s)
-    if s % b == 0:
-        return b
-    for cand in range((b // quantum) * quantum, 0, -quantum):
-        if s % cand == 0:
-            return cand
-    return s
+    quanta, then sublane quanta), so seqlens like 640 keep working
+    under the larger tuned defaults exactly as they did under 128.
+    Seqlens with no 8-aligned divisor <= pref raise instead of
+    silently running a whole-sequence (VMEM-scale) block."""
+    from ghost_tpu.ops.pallas.tiling import fit_divisor
+
+    b = fit_divisor(pref, s, quantum)
+    if b is None:
+        b = fit_divisor(pref, s, 8)  # sublane-aligned fallback
+    if b is None:
+        raise ValueError(
+            f"seq len {s} has no 8-aligned divisor <= {pref}; pad the "
+            f"sequence to a multiple of 8 (128 for best MXU tiling)")
+    return b
 NEG_INF = -1e30
 
 
@@ -114,8 +119,12 @@ def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int,
         return m_new, l_new, acc
 
     if causal:
-        # only blocks at or before the diagonal contribute
-        upper = q_idx * block_q // block_k + pl.cdiv(block_q, block_k)
+        # only k-blocks touching rows < (q_idx+1)*block_q contribute.
+        # NB cdiv of the EXCLUSIVE row end — the old
+        # `q_idx*bq//bk + cdiv(bq, bk)` undercounts when bq does not
+        # divide bk (e.g. fitted bq=512, bk=1280 at S=2560: q-block 2
+        # needs 2 k-blocks, the old formula visited 1)
+        upper = pl.cdiv((q_idx + 1) * block_q, block_k)
         upper = jnp.minimum(upper, num_k_blocks)
     else:
         upper = num_k_blocks
@@ -225,7 +234,8 @@ def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                                         preferred_element_type=jnp.float32)
 
     if causal:
-        upper = q_idx * block_q // block_k + pl.cdiv(block_q, block_k)
+        # exclusive-row-end cdiv; see the forward kernel's note
+        upper = pl.cdiv((q_idx + 1) * block_q, block_k)
         upper = jnp.minimum(upper, num_k_blocks)
     else:
         upper = num_k_blocks

@@ -63,17 +63,33 @@ def _bwd_kernel(x_ref, g_ref, mean_ref, rstd_ref, dy_ref, dx_ref,
     db_ref[:] += jnp.sum(dy, axis=0, keepdims=True)
 
 
-def _fit_rows(pref: int, rows: int, quantum: int = 8) -> int:
-    """Largest row block <= pref dividing rows (sublane steps), so any
-    row count that worked under the old 128 default keeps working under
-    the tuned larger one."""
-    br = min(pref, rows)
-    if rows % br == 0:
-        return br
-    for cand in range((br // quantum) * quantum, 0, -quantum):
-        if rows % cand == 0:
-            return cand
-    return rows
+# per-buffer VMEM budget for fitting the row block: the backward holds
+# three (br, h) f32 blocks (x, dy, dx) at once, so 4 MB/buffer keeps
+# the total well under the ~16 MB VMEM even at wide hidden sizes. At
+# the tuned h=1024 this leaves the measured-best br=1024 untouched;
+# h=8192 caps back to br=128 (the old default) instead of asking
+# Mosaic for 32 MB tiles.
+_VMEM_BYTES_PER_BUF = 4 << 20
+
+
+def _fit_rows(pref: int, rows: int, quantum: int = 8,
+              h: int | None = None) -> int:
+    """Largest row block <= pref dividing rows (sublane steps, capped
+    by the VMEM budget when `h` is given), so any row count that
+    worked under the old 128 default keeps working under the tuned
+    larger one."""
+    from ghost_tpu.ops.pallas.tiling import fit_divisor, largest_divisor_below
+
+    if h is not None:
+        cap = max(quantum, (_VMEM_BYTES_PER_BUF // (4 * h)) // quantum
+                  * quantum)
+        pref = min(pref, cap)
+    br = fit_divisor(pref, rows, quantum)
+    if br is None:
+        # no sublane-aligned divisor (odd row counts): any divisor
+        # beats a whole-array block; 1 always divides
+        br = largest_divisor_below(rows, min(pref, quantum - 1))
+    return br
 
 
 def _forward(x, gamma, beta, eps, block_rows, interpret):
@@ -81,7 +97,7 @@ def _forward(x, gamma, beta, eps, block_rows, interpret):
     h = x.shape[-1]
     rows = x.size // h
     x2 = x.reshape(rows, h)
-    br = _fit_rows(block_rows, rows)
+    br = _fit_rows(block_rows, rows, h=h)
     assert rows % br == 0, "row count must divide block_rows"
 
     out, mean, rstd = pl.pallas_call(
@@ -127,7 +143,7 @@ def _ln_fwd(x, gamma, beta, eps, block_rows, interpret):
 def _ln_bwd(eps, block_rows, interpret, res, g):
     x2, gamma, mean, rstd, orig_shape = res
     rows, h = x2.shape
-    br = _fit_rows(block_rows, rows)
+    br = _fit_rows(block_rows, rows, h=h)
     dy = g.reshape(rows, h)
 
     dx, dgamma, dbeta = pl.pallas_call(

@@ -21,14 +21,25 @@ def test_fit_block_divides():
     from ghost_tpu.ops.pallas.attention import _fit_block
     from ghost_tpu.ops.pallas.layer_norm import _fit_rows
 
-    for s in (128, 256, 384, 512, 640, 1024, 1920, 4096):
+    for s in (128, 256, 384, 512, 640, 1024, 1920, 4096, 2568):
         for pref in (128, 512, 2048):
             b = _fit_block(pref, s)
+            # never exceeds pref: s=2568 has no 128-quantum divisor and
+            # must fall back to a sublane-aligned one (24), not a
+            # whole-sequence VMEM-scale block
             assert s % b == 0 and b <= max(pref, 1), (s, pref, b)
-    for rows in (8, 120, 1000, 8192, 36):
+    import pytest
+
+    with pytest.raises(ValueError):
+        _fit_block(512, 2561)  # odd seq: loud error, not an opaque 500
+    for rows in (8, 120, 1000, 8192, 36, 2049):
         for pref in (128, 1024):
             b = _fit_rows(pref, rows)
-            assert rows % b == 0, (rows, pref, b)
+            assert rows % b == 0 and b <= pref, (rows, pref, b)
+    # VMEM cap: wide hidden shrinks the fitted row block so (br, h)
+    # f32 tiles stay within budget (h=8192 -> br<=128)
+    assert _fit_rows(1024, 8192, h=8192) <= 128
+    assert _fit_rows(1024, 8192, h=1024) == 1024  # tuned default kept
 
 
 def test_flash_attention_odd_seq_interpret(rng):
@@ -41,6 +52,38 @@ def test_flash_attention_odd_seq_interpret(rng):
                                     jnp.asarray(q), False)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_flash_attention_causal_unequal_blocks(rng):
+    """Causal with fitted bq=512/bk=1280 (S=2560 under the tuned
+    512/2048 defaults): the k-block upper bound must be
+    cdiv((q_idx+1)*bq, bk) — the old q_idx*bq//bk + cdiv(bq, bk)
+    formula skipped in-window K/V blocks whenever bq does not divide
+    bk, silently truncating the softmax (fwd) and dq (bwd)."""
+    q = rng.standard_normal((1, 1, 2560, 64)).astype(np.float32) * 0.5
+    k = rng.standard_normal((1, 1, 2560, 64)).astype(np.float32) * 0.5
+    v = rng.standard_normal((1, 1, 2560, 64)).astype(np.float32)
+    out = flash_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                          True, None, 512, 2048, True)
+    ref = flash_attention_reference(jnp.asarray(q), jnp.asarray(k),
+                                    jnp.asarray(v), True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
+
+    def f_fl(q):
+        return jnp.sum(flash_attention(q, jnp.asarray(k), jnp.asarray(v),
+                                       True, None, 512, 2048, True)
+                       .astype(jnp.float32) ** 2)
+
+    def f_ref(q):
+        return jnp.sum(flash_attention_reference(
+            q, jnp.asarray(k), jnp.asarray(v), True)
+            .astype(jnp.float32) ** 2)
+
+    dq = jax.grad(f_fl)(jnp.asarray(q))
+    dq_ref = jax.grad(f_ref)(jnp.asarray(q))
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(dq_ref),
+                               rtol=5e-3, atol=5e-3)
 
 
 @pytest.mark.parametrize("causal", [False, True])
