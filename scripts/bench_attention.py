@@ -70,18 +70,20 @@ def main():
         print(f"  fwd speedup: {t_ref / t_fl:.2f}x", flush=True)
 
         # grad wrt ALL of q/k/v: differentiating only q would let jit
-        # DCE the dkv pallas_call and the bench would never time it
+        # DCE the dkv pallas_call and the bench would never time it.
+        # Elementwise-sum the three grads (same shape as q) so the
+        # chain's checksum keeps every pallas_call live.
         def g_ref(q, k, v):
             gs = jax.grad(lambda q, k, v: jnp.sum(
                 flash_attention_reference(q, k, v).astype(jnp.float32)),
                 argnums=(0, 1, 2))(q, k, v)
-            return sum(jnp.sum(g.astype(jnp.float32)) for g in gs)
+            return gs[0] + gs[1] + gs[2]
 
         def g_fl(q, k, v):
             gs = jax.grad(lambda q, k, v: jnp.sum(
                 flash_attention(q, k, v).astype(jnp.float32)),
                 argnums=(0, 1, 2))(q, k, v)
-            return sum(jnp.sum(g.astype(jnp.float32)) for g in gs)
+            return gs[0] + gs[1] + gs[2]
 
         t_ref = bench(f"xla attention fwd+bwd {tag}", g_ref, (q, k, v))
         t_fl = bench(f"pallas flash fwd+bwd  {tag}", g_fl, (q, k, v))
