@@ -68,7 +68,13 @@ def _load_teacher_vars(path: str, module, convert_fn, allow_random: bool,
     from ghost_tpu.convert.torch_loader import load_torch_checkpoint
     from ghost_tpu.core.checkpoint import load_msgpack
 
-    if path and os.path.exists(path):
+    if path:
+        # an explicitly given path that does not exist is an error even
+        # under --allow_random_weights: silently distilling a 10k-step
+        # student against a random teacher because of a typo'd filename
+        # is the worst possible failure mode
+        if not os.path.exists(path):
+            raise SystemExit(f"--teacher_path {path!r} does not exist")
         if path.endswith(".msgpack"):
             return load_msgpack(path)
         return jax.tree.map(jnp.asarray,
@@ -76,7 +82,7 @@ def _load_teacher_vars(path: str, module, convert_fn, allow_random: bool,
     if allow_random:
         print("WARNING: random teacher weights (smoke mode)")
         return module.init(jax.random.key(1), jnp.zeros(init_shape))
-    raise SystemExit(f"missing --teacher_path {path!r}")
+    raise SystemExit("missing --teacher_path")
 
 
 def _image_batches(paths, size: int, batch: int, seed: int):

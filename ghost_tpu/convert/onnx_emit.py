@@ -82,16 +82,18 @@ def _aad_layer(b: OnnxBuilder, h: str, za: str, zid: str,
                p["attr_gb"]["Conv_0"]["bias"])
     if ups > 1:
         ab = _resize2x(b, ab)
-    g_attr, b_attr = b.node("Split", [ab], n_out=2, axis=1,
-                            split=[cin, cin])
+    # no 'split' attribute: opset 13 moved it to an optional input, and
+    # onnxruntime rejects it as an unrecognized attribute at load; with
+    # it absent Split divides equally across the 2 outputs (both halves
+    # are cin channels), which our executor mirrors
+    g_attr, b_attr = b.node("Split", [ab], n_out=2, axis=1)
 
     ab_id = b.node("Gemm", [
         zid,
         b.initializer(_f32(p["id_gb"]["Dense_0"]["kernel"])),
         b.initializer(_f32(p["id_gb"]["Dense_0"]["bias"])),
     ])
-    g_id, b_id = b.node("Split", [ab_id], n_out=2, axis=1,
-                        split=[cin, cin])
+    g_id, b_id = b.node("Split", [ab_id], n_out=2, axis=1)
     bc = b.initializer(np.array([0, cin, 1, 1], np.int64))
     g_id = b.node("Reshape", [g_id, bc])
     b_id = b.node("Reshape", [b_id, bc])
@@ -165,7 +167,9 @@ def emit_aei(variables, backbone: str = "unet", num_blocks: int = 2,
         else:
             h = b.node("Concat", [h, skip], axis=1)
         attrs.append(h)
-    attrs.append(_resize2x(b, h))
+    # NB the flax encoder's 8th map (2x bilinear of attrs[6]) is never
+    # emitted: the blk8 commute below consumes attrs[6] directly, and a
+    # dead Resize node would still execute in sequential consumers
 
     # AADGenerator (models/aei.py:253-297)
     gen_p = params["generator"]
@@ -174,9 +178,10 @@ def emit_aei(variables, backbone: str = "unet", num_blocks: int = 2,
     m = _deconv(b, zr, gen_p["up1"]["kernel"], gen_p["up1"]["bias"],
                 stride=1, pad=0)
     for k in range(8):
-        za, ups = attrs[k], 1
         if k == 7:  # blk8 commute: conv at 128-res, upsample conv output
             za, ups = attrs[6], 2
+        else:
+            za, ups = attrs[k], 1
         y = _aad_res_block(b, m, za, zid, gen_p[f"blk{k + 1}"],
                            num_blocks, ups)
         if k < 7:

@@ -114,8 +114,7 @@ def ring_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
 
         perm = [(i, (i + 1) % n) for i in range(n)]
 
-        def tick(carry, t):
-            o, m, l, kc, vc = carry
+        def update(oml, t, kc, vc):
             # after t hops this device holds the chunk born on (idx-t)%n
             src = jax.lax.rem(idx - t + n, n)
             if causal:
@@ -123,13 +122,23 @@ def ring_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
                 mask = k_pos[None, :] <= q_pos[:, None]
             else:
                 mask = None
-            o, m, l = _block_update((o, m, l), qf, kc, vc, scale, mask)
+            return _block_update(oml, qf, kc, vc, scale, mask)
+
+        def tick(carry, t):
+            o, m, l, kc, vc = carry
+            o, m, l = update((o, m, l), t, kc, vc)
             kc = jax.lax.ppermute(kc, axis, perm)
             vc = jax.lax.ppermute(vc, axis, perm)
             return (o, m, l, kc, vc), None
 
-        (o, m, l, _, _), _ = jax.lax.scan(
-            tick, (o0, m0, l0, k, v), jnp.arange(n))
+        # n-1 update+rotate ticks, then the last chunk's update WITHOUT
+        # the rotation: the n-th hop's result is never read, and inside
+        # the fixed scan body XLA cannot elide it — one whole KV-chunk
+        # neighbor exchange of dead ICI traffic per call (and per
+        # rematerialized backward)
+        (o, m, l, kc, vc), _ = jax.lax.scan(
+            tick, (o0, m0, l0, k, v), jnp.arange(n - 1))
+        o, m, l = update((o, m, l), n - 1, kc, vc)
         return (o / l.transpose(0, 2, 1)[..., None]).astype(q.dtype)
 
     spec = P(batch_axis, axis)

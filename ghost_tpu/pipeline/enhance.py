@@ -119,10 +119,10 @@ class FaceEnhancer:
         then area-resize back (the x4 canvas case returns the stitched
         tiles unresized)."""
         x01 = frames_u8.astype(jnp.float32) / 255.0
-        th, tw = self.bg_tile
-        pad = self.bg_tile_pad
-        if h % th or w % tw:  # fall back to one whole-frame tile
-            th, tw, pad = h, w, 0
+        th, tw = _fit_tile(self.bg_tile, h, w)
+        # _tiled_rect needs th+2*pad <= h (halos clamp to the image);
+        # frames at or below one tile on an axis squeeze the halo out
+        pad = min(self.bg_tile_pad, (h - th) // 2, (w - tw) // 2)
         # fold the x4->x1 area resize into each tile: the 4x4 box
         # average is tile-aligned, so per-tile downscale + stitch is
         # EXACT vs stitching the (un-storable) x4 canvas then resizing
@@ -210,17 +210,45 @@ def _to_host(out) -> np.ndarray:
 
     With bg_mesh the program output lives sharded across devices;
     np.asarray on a multi-device array aborts some backends (CLAUDE.md
-    measured fact) and raises on non-fully-addressable multi-host
-    arrays — assemble from addressable shards instead (covers the full
-    array on single-host; each host gets its addressable portion on
-    multi-host)."""
+    measured fact) — assemble from addressable shards instead. Only
+    fully-addressable outputs (any single-host mesh) are supported:
+    on a multi-host mesh the non-addressable regions simply do not
+    exist on this host, and silently returning a partly-filled global
+    buffer would hand garbage pixels to the video writer."""
     sharding = getattr(out, "sharding", None)
     if sharding is None or len(getattr(out, "devices", lambda: [0])()) <= 1:
         return np.asarray(out)
+    if not out.is_fully_addressable:
+        raise NotImplementedError(
+            "enhance() output is sharded across hosts; gather it with a "
+            "fully-replicated out_sharding (or enhance per-host chunks) "
+            "before writing frames")
     buf = np.empty(out.shape, jax.dtypes.canonicalize_dtype(out.dtype))
     for sh in out.addressable_shards:
         buf[sh.index] = np.asarray(sh.data)
     return buf
+
+
+def _fit_tile(pref: tuple[int, int], h: int, w: int) -> tuple[int, int]:
+    """Largest dividing tile dims <= the preferred (th, tw), so
+    resolutions the defaults don't divide (720p: 720 % 270 != 0) still
+    tile instead of silently running the whole-frame RRDB x4 pass the
+    tiling exists to avoid (~34 GB of intermediates at 1080p chunk 8).
+    Degenerate fits (< 8 px — prime-ish frame dims) raise: a 4-px tile
+    grid is thousands of sequential RRDB calls, and real codecs emit
+    even dims, so asking the caller to pad/crop a row is the honest
+    answer."""
+    from ghost_tpu.ops.pallas.tiling import largest_divisor_below
+
+    th = largest_divisor_below(h, pref[0]) if h > pref[0] else h
+    tw = largest_divisor_below(w, pref[1]) if w > pref[1] else w
+    if th < 8 or tw < 8:
+        raise ValueError(
+            f"no usable background tile for frame {h}x{w} (fitted "
+            f"{th}x{tw} from preferred {pref[0]}x{pref[1]}); pad or crop "
+            f"the frames to dims with a divisor in [8, {pref[0]}]x"
+            f"[8, {pref[1]}]")
+    return th, tw
 
 
 def _one_tile(mod, variables, frames01, start, th, tw, pad, scale,

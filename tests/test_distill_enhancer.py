@@ -138,3 +138,16 @@ def test_cli_distill_smoke(tmp_path, task, hq):
           "--allow_random_weights", "--bf16", "false"])
     tree = load_msgpack(str(out))
     assert "params" in tree
+
+
+def test_explicit_missing_teacher_path_errors(tmp_path):
+    """A typo'd --teacher_path must SystemExit even under
+    --allow_random_weights: silently distilling against a random
+    teacher is the worst failure mode."""
+    import pytest
+
+    from ghost_tpu.cli.distill_enhancer import _load_teacher_vars
+
+    with pytest.raises(SystemExit):
+        _load_teacher_vars(str(tmp_path / "nope.pth"), None, None,
+                           allow_random=True, init_shape=(1, 16, 16, 3))

@@ -561,3 +561,43 @@ def test_tiled_downscale_folding_exact():
                             method="area"))
     got = np.asarray(_tiled_rect(bg, v, x, 16, 16, 4, downscale=True))
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_bg_tile_fitting():
+    """Non-dividing resolutions must TILE (fitted divisor dims), never
+    silently fall back to the whole-frame RRDB x4 pass the tiling
+    exists to avoid (720 % 270 != 0 was exactly that trap)."""
+    from ghost_tpu.pipeline.enhance import _fit_tile
+
+    assert _fit_tile((270, 240), 1080, 1920) == (270, 240)
+    assert _fit_tile((270, 240), 720, 1280) == (240, 160)  # 720p tiles
+    assert _fit_tile((270, 240), 480, 854) == (240, 122)
+    assert _fit_tile((270, 240), 96, 128) == (96, 128)  # <= one tile
+    with pytest.raises(ValueError):  # prime-ish dims: loud, not OOM
+        _fit_tile((270, 240), 1082, 1920)
+
+
+def test_face_enhancer_bg_non_divisible_resolution():
+    """End-to-end bg path at a resolution the preferred tile does not
+    divide: fitted tiles + squeezed halo produce the right shape."""
+    from ghost_tpu.models.scrfd import SCRFD
+    from ghost_tpu.models.sr.srvgg import SRVGGNetCompact
+    from ghost_tpu.pipeline.enhance import FaceEnhancer
+
+    key = jax.random.key(0)
+    det = SCRFD()
+    det_vars = det.init(key, jnp.zeros((1, 128, 128, 3)))
+    gfp = GFPGANClean(out_size=64, num_style_feat=32, channel_multiplier=2,
+                      num_mlp=2, narrow=0.25)
+    gfp_vars = gfp.init(key, jnp.zeros((1, 64, 64, 3)))
+    bg = SRVGGNetCompact(num_feat=8, num_conv=2, upscale=4)
+    bg_vars = bg.init(key, jnp.zeros((1, 16, 16, 3)))
+
+    # 48x64 with preferred 32x48 tiles -> fitted 24x32, pad 10
+    enh = FaceEnhancer((det, det_vars), (gfp, gfp_vars), (bg, bg_vars),
+                       det_size=128, max_faces=1, crop_size=64,
+                       bg_tile=(32, 48), bg_tile_pad=10)
+    frames = np.random.default_rng(0).integers(
+        0, 255, (1, 48, 64, 3), dtype=np.uint8)
+    out = enh.enhance(frames)
+    assert out.shape == frames.shape and out.dtype == np.uint8

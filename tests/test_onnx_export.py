@@ -157,3 +157,46 @@ class TestExportCli:
         from ghost_tpu.convert.onnx_exec import OnnxExecutor
 
         OnnxExecutor(g)  # all ops supported
+
+
+class TestEmitterOnnxruntimeCompat:
+    """Invariants an onnxruntime-based consumer enforces at load that
+    our own (laxer) executor does not: opset-13 Split must NOT carry a
+    'split' attribute (moved to an optional input in opset 13 — ort
+    rejects it as an unrecognized attribute), and every emitted node
+    must be live (strict consumers flag dead nodes; sequential
+    executors pay to run them)."""
+
+    def _emitted_graph(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+
+        from ghost_tpu.convert.onnx_emit import emit_aei
+        from ghost_tpu.convert.onnx_reader import read_onnx_graph
+        from ghost_tpu.models.aei import AEINet
+
+        mod = AEINet(backbone="unet", num_blocks=1, width=0.0625,
+                     policy=_f32_policy())
+        variables = mod.init(jax.random.key(0),
+                             jnp.zeros((1, 256, 256, 3)),
+                             jnp.zeros((1, 512)))
+        path = tmp_path / "aei.onnx"
+        path.write_bytes(emit_aei(_np_tree(variables), num_blocks=1))
+        return read_onnx_graph(str(path))
+
+    def test_split_has_no_split_attribute(self, tmp_path):
+        g = self._emitted_graph(tmp_path)
+        splits = [n for n in g.nodes if n.op_type == "Split"]
+        assert splits, "AEI graph should contain Split nodes"
+        for n in splits:
+            assert "split" not in n.attrs, n
+            assert len(n.outputs) == 2  # equal halves from output count
+
+    def test_no_dead_nodes(self, tmp_path):
+        g = self._emitted_graph(tmp_path)
+        consumed = set(g.outputs)
+        for n in g.nodes:
+            consumed.update(i for i in n.inputs if i)
+        dead = [n for n in g.nodes
+                if not any(o in consumed for o in n.outputs)]
+        assert not dead, [(n.op_type, n.outputs) for n in dead]
