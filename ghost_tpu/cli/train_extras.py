@@ -84,7 +84,24 @@ def build_parser() -> argparse.ArgumentParser:
                    help="mask: dir of precomputed targets "
                         "(cli/precompute_masks.py output; basename-"
                         "paired .png/.npy)")
+    p.add_argument("--allow_random_weights", default=False, type=str2bool,
+                   help="permit random G/ArcFace init when a weight "
+                        "path is ABSENT (smoke tests only); an "
+                        "explicitly given path that does not exist "
+                        "always errors")
     return p
+
+
+_DEFAULT_ARC = "weights/backbone.pth"
+
+
+def _require_random_ok(args, what: str):
+    if not args.allow_random_weights:
+        raise SystemExit(
+            f"no {what} weights given — a full run on random {what} "
+            f"produces a useless checkpoint; pass the weight path, or "
+            f"--allow_random_weights 1 for smoke tests")
+    print(f"WARNING: random {what} weights (smoke mode)")
 
 
 def _load_gen(args, policy, train: bool):
@@ -95,17 +112,30 @@ def _load_gen(args, policy, train: bool):
 
     gen = AEINet(backbone=args.backbone, num_blocks=args.num_blocks,
                  policy=policy, train=train, width=args.width)
-    if args.G_path.endswith(".pth"):
-        from ghost_tpu.convert.torch_loader import (
-            convert_aei_state_dict, load_torch_checkpoint)
+    if args.G_path:
+        # torch .pth OR this framework's own .msgpack outputs (the
+        # distilled-G regime the discriminator-mode docstring names);
+        # a typo'd path errors instead of silently training on noise
+        if not os.path.exists(args.G_path):
+            raise SystemExit(f"--G_path {args.G_path!r} does not exist")
+        if args.G_path.endswith(".pth"):
+            from ghost_tpu.convert.torch_loader import (
+                convert_aei_state_dict, load_torch_checkpoint)
 
-        g_vars = jax.tree.map(jnp.asarray, convert_aei_state_dict(
-            load_torch_checkpoint(args.G_path), args.backbone,
-            args.num_blocks))
-    else:
-        print("WARNING: random G weights (--G_path not given)")
-        g_vars = gen.init(jax.random.key(0), jnp.zeros((1, 256, 256, 3)),
-                          jnp.zeros((1, 512)))
+            g_vars = jax.tree.map(jnp.asarray, convert_aei_state_dict(
+                load_torch_checkpoint(args.G_path), args.backbone,
+                args.num_blocks))
+        else:
+            from ghost_tpu.core.checkpoint import load_msgpack
+
+            g_vars = load_msgpack(args.G_path)
+            if "params" not in g_vars:
+                raise SystemExit(
+                    f"--G_path {args.G_path!r} has no 'params' tree")
+        return gen, g_vars
+    _require_random_ok(args, "G")
+    g_vars = gen.init(jax.random.key(0), jnp.zeros((1, 256, 256, 3)),
+                      jnp.zeros((1, 512)))
     return gen, g_vars
 
 
@@ -119,15 +149,22 @@ def _load_arc(args, policy):
     arc_layers = (1, 1, 1, 1) if args.arcface_depth == "tiny" \
         else _DEPTHS[args.arcface_depth]
     arc = IResNet(layers=arc_layers, policy=policy)
-    if args.arcface_path.endswith(".pth") and os.path.exists(
-            args.arcface_path):
-        from ghost_tpu.convert.torch_loader import (
-            convert_arcface_state_dict, load_torch_checkpoint)
+    if os.path.exists(args.arcface_path):
+        if args.arcface_path.endswith(".pth"):
+            from ghost_tpu.convert.torch_loader import (
+                convert_arcface_state_dict, load_torch_checkpoint)
 
-        a_vars = jax.tree.map(jnp.asarray, convert_arcface_state_dict(
-            load_torch_checkpoint(args.arcface_path)))
+            a_vars = jax.tree.map(jnp.asarray, convert_arcface_state_dict(
+                load_torch_checkpoint(args.arcface_path)))
+        else:
+            from ghost_tpu.core.checkpoint import load_msgpack
+
+            a_vars = load_msgpack(args.arcface_path)
     else:
-        print("WARNING: random ArcFace weights")
+        if args.arcface_path != _DEFAULT_ARC:
+            raise SystemExit(
+                f"--arcface_path {args.arcface_path!r} does not exist")
+        _require_random_ok(args, "ArcFace")
         a_vars = arc.init(jax.random.key(0), jnp.zeros((1, 112, 112, 3)))
     # weights ride as jit ARGUMENTS, not closure-captured HLO constants
     # (the relay 413 rule — see SwapPipeline._vars)
@@ -150,6 +187,34 @@ def _epoch_batches(loader, embed_fn, max_epochs: int):
             return
 
 
+def _run_loop(args, out_path, batches, step_once, state, save_tree):
+    """Shared trainer loop (the three modes differ only in their step
+    call and saved tree): show_step prints, save_interval snapshots, a
+    SIGTERM preemption latch (train/preempt.py — TPU VMs get SIGTERM
+    ahead of maintenance/spot reclaims) that saves and stops cleanly,
+    and a final save. step_once(state, batch) -> (state, printable)."""
+    from ghost_tpu.core.checkpoint import save_msgpack
+    from ghost_tpu.train.preempt import PreemptionGuard
+
+    it = 0
+    with PreemptionGuard() as guard:
+        for b in batches:
+            state, msg = step_once(state, b)
+            if it % args.show_step == 0:
+                print(f"step {it} {msg}")
+            it += 1
+            if it % args.save_interval == 0:
+                save_msgpack(out_path, save_tree(state))
+            if guard.triggered:
+                print("train_extras: preemption signal latched — "
+                      "saving final state and stopping")
+                break
+            if args.max_steps is not None and it >= args.max_steps:
+                break
+    save_msgpack(out_path, save_tree(state))
+    return state
+
+
 def main(argv=None):
     from ghost_tpu.utils.jax_cache import enable_persistent_cache
 
@@ -160,7 +225,6 @@ def main(argv=None):
     import jax.numpy as jnp
     import numpy as np
 
-    from ghost_tpu.core.checkpoint import save_msgpack
     from ghost_tpu.core.precision import DEFAULT_POLICY, FULL_PRECISION
     from ghost_tpu.data.loader import PrefetchLoader
 
@@ -198,19 +262,18 @@ def main(argv=None):
         ds = FaceEmbedDataset([args.dataset_path])
         loader = PrefetchLoader(ds, args.batch_size,
                                 num_workers=args.num_workers)
-        it = 0
-        for b in _epoch_batches(loader, arc_apply, args.max_epochs):
+
+        def step_once(state, b):
+            d_params, d_opt = state
             fake = fake_fn(jnp.asarray(b["xt"]), jnp.asarray(b["embed"]))
             d_params, d_opt, loss = step(d_params, d_opt, fake,
                                          jnp.asarray(b["xs"]))
-            if it % args.show_step == 0:
-                print(f"step {it} lossD {float(loss):.4f}")
-            it += 1
-            if it % args.save_interval == 0:
-                save_msgpack(out_path, {"params": d_params})
-            if args.max_steps is not None and it >= args.max_steps:
-                break
-        save_msgpack(out_path, {"params": d_params})
+            return (d_params, d_opt), f"lossD {float(loss):.4f}"
+
+        _run_loop(args, out_path,
+                  _epoch_batches(loader, arc_apply, args.max_epochs),
+                  step_once, (d_params, d_opt),
+                  lambda s: {"params": s[0]})
 
     elif args.mode == "upsampler":
         from ghost_tpu.models.sr.generator import LIPSPADEGenerator
@@ -235,22 +298,20 @@ def main(argv=None):
         ds = FaceEmbedDataset([args.dataset_path])
         loader = PrefetchLoader(ds, args.batch_size,
                                 num_workers=args.num_workers)
-        it = 0
-        for b in _epoch_batches(loader, arc_apply, args.max_epochs):
+
+        def step_once(state, b):
+            g_params, g_stats, g_opt = state
             g_params, g_stats, g_opt, metrics = step(
                 g_params, g_stats, g_opt, sr_vars, jnp.asarray(b["xt"]),
                 jnp.asarray(b["embed"]))
-            if it % args.show_step == 0:
-                print(f"step {it} loss {float(metrics['loss']):.4f} "
-                      f"upsample {float(metrics['upsample']):.4f}")
-            it += 1
-            if it % args.save_interval == 0:
-                save_msgpack(out_path, {"params": g_params,
-                                        "batch_stats": g_stats})
-            if args.max_steps is not None and it >= args.max_steps:
-                break
-        save_msgpack(out_path, {"params": g_params,
-                                "batch_stats": g_stats})
+            return (g_params, g_stats, g_opt), (
+                f"loss {float(metrics['loss']):.4f} "
+                f"upsample {float(metrics['upsample']):.4f}")
+
+        _run_loop(args, out_path,
+                  _epoch_batches(loader, arc_apply, args.max_epochs),
+                  step_once, (g_params, g_stats, g_opt),
+                  lambda s: {"params": s[0], "batch_stats": s[1]})
 
     else:  # mask
         if not args.mask_source:
@@ -272,21 +333,18 @@ def main(argv=None):
         ds = MaskTargetDataset(args.dataset_path, args.mask_source)
         loader = PrefetchLoader(ds, args.batch_size,
                                 num_workers=args.num_workers)
-        it = 0
-        for b in _epoch_batches(loader, arc_apply, args.max_epochs):
+
+        def step_once(state, b):
+            g_params, g_stats, g_opt = state
             g_params, g_stats, g_opt, loss = step(
                 g_params, g_stats, g_opt, jnp.asarray(b["xt"]),
                 jnp.asarray(b["embed"]), jnp.asarray(b["mask"]))
-            if it % args.show_step == 0:
-                print(f"step {it} mask loss {float(loss):.4f}")
-            it += 1
-            if it % args.save_interval == 0:
-                save_msgpack(out_path, {"params": g_params,
-                                        "batch_stats": g_stats})
-            if args.max_steps is not None and it >= args.max_steps:
-                break
-        save_msgpack(out_path, {"params": g_params,
-                                "batch_stats": g_stats})
+            return (g_params, g_stats, g_opt), f"mask loss {float(loss):.4f}"
+
+        _run_loop(args, out_path,
+                  _epoch_batches(loader, arc_apply, args.max_epochs),
+                  step_once, (g_params, g_stats, g_opt),
+                  lambda s: {"params": s[0], "batch_stats": s[1]})
 
     print(f"saved {out_path}")
 

@@ -35,7 +35,17 @@ def add_coords(x, with_r: bool, boundary_heatmap=None):
     """coord_conv.AddCoordsTh parity, NHWC: append xx (H-axis index,
     normalized to [-1,1]), yy (W-axis index), optional rr
     (sqrt(xx^2+yy^2)/max), and — when a boundary heatmap is given —
-    xx/yy masked to where clamp(heatmap[..., -1], 0, 1) > 0.05."""
+    xx/yy masked to where clamp(heatmap[..., -1], 0, 1) > 0.05.
+
+    Orientation note: AWL's AddCoordsTh is NOT the standard uber
+    CoordConv — it documents its input as (batch, c, x_dim, y_dim) and
+    permutes the (1, y_dim, x_dim, 1) matmul-built xx map with
+    (0, 3, 2, 1), landing x_dim on the FIRST spatial axis: xx varies
+    along H, then yy along W, which is what this function emits. Every
+    map here is square, so a convention mismatch would equal a
+    coordinate transpose — instantly visible as transposed landmarks
+    once the real WFLW_4HG.pth runs; re-verify against the upstream
+    source then."""
     b, h, w, _ = x.shape
     dt = x.dtype
     xx = jnp.broadcast_to(

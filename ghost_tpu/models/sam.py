@@ -147,7 +147,10 @@ class VitBlock(nn.Module):
     def __call__(self, x):
         cd, pd = self.policy.compute_dtype, self.policy.param_dtype
         sc = x
-        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=pd,
+        # upstream build_sam constructs the image encoder with
+        # norm_layer=partial(nn.LayerNorm, eps=1e-6) — NOT torch's 1e-5
+        # default (decoder norms keep 1e-5)
+        x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, param_dtype=pd,
                          name="norm1")(x.astype(jnp.float32)).astype(cd)
         hw = x.shape[1:3]
         if self.window_size > 0:
@@ -160,7 +163,7 @@ class VitBlock(nn.Module):
         if self.window_size > 0:
             x = window_unpartition(x, self.window_size, pad_hw, hw)
         x = sc + x
-        y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=pd,
+        y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, param_dtype=pd,
                          name="norm2")(x.astype(jnp.float32)).astype(cd)
         y = Dense(int(self.dim * self.mlp_ratio), dtype=cd, param_dtype=pd,
                   name="mlp_lin1")(y)
@@ -465,8 +468,14 @@ class SamPredictor:
         pts = points.astype(jnp.float32)
         pts = pts * jnp.asarray([size / w, size / h], jnp.float32)
         masks, iou = self.model.apply(variables, x, pts, labels)
-        logits = resize(masks.transpose(0, 2, 3, 1), (h, w),
+        # upstream postprocess_masks resizes in TWO bilinear steps
+        # (256-grid -> img_size -> original); one direct step is NOT
+        # the same function and flips near-zero logits across the >0
+        # threshold on mask boundaries
+        logits = resize(masks.transpose(0, 2, 3, 1), (size, size),
                         method="bilinear", align_corners=False)
+        logits = resize(logits, (h, w), method="bilinear",
+                        align_corners=False)
         return logits.transpose(0, 3, 1, 2), iou
 
     def predict_points(self, image_rgb_u8, point_coords, point_labels,

@@ -214,7 +214,12 @@ class StyleGAN2CSFT(nn.Module):
         cd, pd = self.policy.compute_dtype, self.policy.param_dtype
         ch = decoder_channels(self.channel_multiplier, self.narrow)
         if not input_is_latent:
+            # upstream prepends NormStyleCode to the style MLP
+            # (stylegan2_clean_arch: z * rsqrt(mean(z^2) + 1e-8)) —
+            # converted MLP weights expect a normalized z
             w = styles.astype(cd)
+            w = w / jnp.sqrt(
+                jnp.mean(jnp.square(w), axis=-1, keepdims=True) + 1e-8)
             for j in range(self.num_mlp):
                 w = _lrelu(Dense(self.num_style_feat, dtype=cd,
                                  param_dtype=pd, name=f"mlp_{j}")(w))
@@ -309,13 +314,19 @@ class GFPGANClean(nn.Module):
             feat = CleanResBlock(ch[res], "up", self.policy,
                                  name=f"conv_body_up_{i}")(feat)
             c = ch[res]
+            # second conv of each condition pair emits the width the
+            # decoder modulates: its sft HALF (= unet c, decoder c/2)
+            # under sft_half, the FULL decoder width (= 2c) otherwise
+            # (upstream sft_out_channels = out_channels if sft_half
+            # else out_channels * 2)
+            c_out = c if self.sft_half else 2 * c
             sc = Conv(c, 3, padding=1, dtype=cd, param_dtype=pd,
                       name=f"condition_scale_{i}_0")(feat)
-            sc = Conv(c, 3, padding=1, dtype=cd, param_dtype=pd,
+            sc = Conv(c_out, 3, padding=1, dtype=cd, param_dtype=pd,
                       name=f"condition_scale_{i}_1")(_lrelu(sc))
             sh = Conv(c, 3, padding=1, dtype=cd, param_dtype=pd,
                       name=f"condition_shift_{i}_0")(feat)
-            sh = Conv(c, 3, padding=1, dtype=cd, param_dtype=pd,
+            sh = Conv(c_out, 3, padding=1, dtype=cd, param_dtype=pd,
                       name=f"condition_shift_{i}_1")(_lrelu(sh))
             conditions += [sc, sh]
             if return_rgb:

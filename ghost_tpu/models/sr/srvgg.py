@@ -38,9 +38,19 @@ def pixel_shuffle(x, factor: int):
 
 
 def nearest_up(x, factor: int):
-    for _ in range(factor.bit_length() - 1):
-        x = nearest_up2(x)
-    return x
+    """Integer-factor nearest upsample (torch F.interpolate parity for
+    integer scale_factor). Power-of-two factors keep the measured
+    doubling path; other factors (upscale=3 variants) pixel-repeat —
+    the doubling loop alone silently produced 2^floor(log2(f)) and the
+    skip-add failed with an opaque broadcast error."""
+    if factor & (factor - 1) == 0:
+        for _ in range(factor.bit_length() - 1):
+            x = nearest_up2(x)
+        return x
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :],
+                         (b, h, factor, w, factor, c))
+    return x.reshape(b, h * factor, w * factor, c)
 
 
 class SRVGGNetCompact(nn.Module):

@@ -168,26 +168,37 @@ def rnn_forward(kind: str, params, x, h0=None, bidirectional: bool = False):
     25-50): layer l consumes layer l-1's full output sequence;
     bidirectional concatenates forward and reverse features per layer.
 
+    h0, when given, warm-starts the recurrence (streaming continuation
+    across chunks): the same structure this function RETURNS as
+    last_hidden — a list with one entry per layer, each a tuple of
+    n_state (B, H) arrays (a (fwd, rev) pair of such tuples per layer
+    when bidirectional). None (the default) zero-initializes.
+
     Returns (ys (T, B, H*dirs), last_hidden list per layer)."""
     cell, gates, n_state = _CELLS[kind]
     t, b, _ = x.shape
+    if h0 is not None and len(h0) != len(params):
+        raise ValueError(
+            f"h0 has {len(h0)} layer states for {len(params)} layers")
     lasts = []
     h = x
-    for layer_p in params:
+    for li, layer_p in enumerate(params):
         if bidirectional:
             pf, pr = layer_p
             hsz = pf.w_hh.shape[-1]
             z = jnp.zeros((b, hsz), h.dtype)
-            h0l = tuple(z for _ in range(n_state))
-            yf, hf = _run_layer(cell, gates, n_state, pf, h, h0l)
-            yr, hr = _run_layer(cell, gates, n_state, pr, h, h0l,
+            zl = tuple(z for _ in range(n_state))
+            h0f, h0r = h0[li] if h0 is not None else (zl, zl)
+            yf, hf = _run_layer(cell, gates, n_state, pf, h, h0f)
+            yr, hr = _run_layer(cell, gates, n_state, pr, h, h0r,
                                 reverse=True)
             h = jnp.concatenate([yf, yr], axis=-1)
             lasts.append((hf, hr))
         else:
             hsz = layer_p.w_hh.shape[-1]
             z = jnp.zeros((b, hsz), h.dtype)
-            h0l = tuple(z for _ in range(n_state))
+            h0l = (h0[li] if h0 is not None
+                   else tuple(z for _ in range(n_state)))
             h, hl = _run_layer(cell, gates, n_state, layer_p, h, h0l)
             lasts.append(hl)
     return h, lasts

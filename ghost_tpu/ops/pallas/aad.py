@@ -89,8 +89,17 @@ def aad_modulate(h, gamma_attr, beta_attr, id_gb, mask_kernel, mask_bias,
         interpret = jax.default_backend() != "tpu"
     b, hh, ww, c = h.shape
     rows = hh * ww
-    br = min(block_rows, rows)
-    assert rows % br == 0, (rows, br)
+    # fit the row block like the sibling kernels (attention._fit_block,
+    # layer_norm._fit_rows) instead of asserting: non-multiple H*W
+    # (e.g. 48x32 = 1536 rows under the 1024 default) fits down to the
+    # largest sublane-aligned divisor. Power-of-two maps (every swap-
+    # path shape) fit to exactly min(block_rows, rows) as before.
+    from ghost_tpu.ops.pallas.tiling import (fit_divisor,
+                                             largest_divisor_below)
+
+    br = fit_divisor(block_rows, rows, 8)
+    if br is None:
+        br = largest_divisor_below(rows, min(block_rows, 7))
 
     mean = jnp.mean(h, axis=(1, 2), dtype=jnp.float32)       # (B, C)
     xc = h - mean[:, None, None, :].astype(h.dtype)

@@ -114,10 +114,14 @@ def degrade(key, hq01, lq_size: tuple[int, int],
                              noise_range[0], noise_range[1])
     x = x + std * jax.random.normal(k_noise, x.shape, hq01.dtype)
 
-    down_area = resize(jnp.clip(x, 0.0, 1.0), lq_size, method="area")
-    down_bil = resize(jnp.clip(x, 0.0, 1.0), lq_size, method="bilinear")
-    pick = jax.random.bernoulli(k_method, 0.5)
-    return jnp.clip(jnp.where(pick, down_area, down_bil), 0.0, 1.0)
+    x = jnp.clip(x, 0.0, 1.0)
+    # lax.cond: only the picked resize runs per step (jnp.where would
+    # compute BOTH full-batch dense-matrix resizes and discard one)
+    down = jax.lax.cond(
+        jax.random.bernoulli(k_method, 0.5),
+        lambda v: resize(v, lq_size, method="area"),
+        lambda v: resize(v, lq_size, method="bilinear"), x)
+    return jnp.clip(down, 0.0, 1.0)
 
 
 # ---------------------------------------------------------------------------
@@ -125,8 +129,15 @@ def degrade(key, hq01, lq_size: tuple[int, int],
 # ---------------------------------------------------------------------------
 
 
-def make_teacher_fn(teacher_mod, teacher_vars) -> Callable:
+def make_teacher_fn(teacher_mod, teacher_vars,
+                    out_range: tuple[float, float] = (0.0, 1.0)) -> Callable:
     """Wrap a converted teacher as a stop-gradient target oracle.
+
+    Tuple-returning teachers (GFPGANClean yields (image, rgbs)) are
+    unwrapped to their first element, and the clip uses the TEACHER's
+    native output range — pass out_range=(-1.0, 1.0) for GFPGAN; the
+    default (0, 1) fits RRDB/SRVGG. Clipping a [-1,1] model to [0,1]
+    would black out the whole negative half of its range.
 
     Weights ride as a closure here because the *caller* jits the whole
     step with params as arguments; when building a standalone jitted
@@ -134,9 +145,12 @@ def make_teacher_fn(teacher_mod, teacher_vars) -> Callable:
     instead (relay HTTP 413 — see SwapPipeline._vars).
     """
 
-    def teacher(lq01):
-        out = teacher_mod.apply(teacher_vars, lq01)
-        return jax.lax.stop_gradient(jnp.clip(out, 0.0, 1.0))
+    def teacher(lq):
+        out = teacher_mod.apply(teacher_vars, lq)
+        if isinstance(out, (tuple, list)):
+            out = out[0]
+        return jax.lax.stop_gradient(
+            jnp.clip(out, out_range[0], out_range[1]))
 
     return teacher
 
@@ -154,7 +168,12 @@ class _FaceStudent:
         lq01 = resize(crop_pm1 * 0.5 + 0.5, (h // 2, w // 2),
                       method="area")
         out01 = self.student_mod.apply(variables, jnp.clip(lq01, 0.0, 1.0))
-        return jnp.clip(out01, 0.0, 1.0) * 2.0 - 1.0
+        # NO output clip inside the differentiable loss path: clip's
+        # zero gradient on saturated pixels would freeze exactly the
+        # over/under-shooting regions the L1 term needs to pull back
+        # (the background task trains unclipped too); serving clamps at
+        # the u8 write instead
+        return out01 * 2.0 - 1.0
 
 
 def face_student_wrapper(student_mod) -> _FaceStudent:
@@ -212,7 +231,7 @@ def make_enhancer_distill_step(
     return step, tx
 
 
-def make_self_distill_batch_fn(student_mod, teacher_fn: Callable,
+def make_self_distill_batch_fn(teacher_fn: Callable,
                                lq_size: tuple[int, int], **degrade_kwargs):
     """One-jit HQ->(lq, target) sampler: degrade HQ on device, run the
     teacher on the LQ batch. Returns fn(key, hq01) -> (lq, target)

@@ -41,7 +41,12 @@ class PreemptionGuard:
 
     def __exit__(self, *exc) -> None:
         for s, prev in self._prev.items():
-            signal.signal(s, prev)
+            # signal.signal returns None when the previous handler was
+            # installed outside Python (launchers, C extensions) —
+            # passing None back raises TypeError, crashing an otherwise
+            # clean exit; leave the native handler in place instead
+            if prev is not None:
+                signal.signal(s, prev)
         self._prev.clear()
 
     def _handler(self, signum, frame) -> None:

@@ -601,3 +601,37 @@ def test_face_enhancer_bg_non_divisible_resolution():
         0, 255, (1, 48, 64, 3), dtype=np.uint8)
     out = enh.enhance(frames)
     assert out.shape == frames.shape and out.dtype == np.uint8
+
+
+def test_gfpgan_z_path_norm_and_sft_full():
+    """Two fixed parity details: the z->w style MLP prepends upstream's
+    NormStyleCode (so the path is scale-invariant in z), and
+    sft_half=False widens the condition output convs to the decoder's
+    full width (it used to shape-mismatch at trace time)."""
+    from ghost_tpu.core.precision import FULL_PRECISION
+    from ghost_tpu.models.sr.gfpgan import GFPGANClean
+
+    mod = GFPGANClean(out_size=64, num_style_feat=32, channel_multiplier=2,
+                      num_mlp=2, narrow=0.25, sft_half=False,
+                      different_w=False, input_is_latent=False,
+                      policy=FULL_PRECISION)
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        0, 0.5, (1, 64, 64, 3)).astype(np.float32))
+    v = mod.init(jax.random.key(0), x)
+    y1, _ = mod.apply(v, x)
+    assert y1.shape == x.shape  # full-SFT branch broadcasts
+
+    # NormStyleCode makes w invariant to the latent's scale; the
+    # encoder-derived latent IS the z here (input_is_latent=False), so
+    # scale-invariance is exercised through the mlp stack by construction
+    from ghost_tpu.models.sr.gfpgan import StyleGAN2CSFT
+    dec = StyleGAN2CSFT(out_size=16, num_style_feat=16, num_mlp=2,
+                        channel_multiplier=2, narrow=0.25,
+                        policy=FULL_PRECISION)
+    z = jnp.asarray(np.random.default_rng(1).normal(
+        0, 1, (1, 16)).astype(np.float32))
+    dv = dec.init(jax.random.key(1), z, [], input_is_latent=False)
+    out1 = dec.apply(dv, z, [], input_is_latent=False)
+    out2 = dec.apply(dv, z * 1000.0, [], input_is_latent=False)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
+                               atol=2e-4)

@@ -210,6 +210,26 @@ def test_aad_modulate_matches_reference(rng):
                                rtol=0.1, atol=0.1)
 
 
+def test_aad_modulate_fits_non_multiple_rows(rng):
+    """H*W that the block_rows default does not divide (48x32 = 1536)
+    must FIT (largest sublane-aligned divisor) instead of asserting —
+    the hardening the sibling attention/LN kernels already have."""
+    from ghost_tpu.ops.pallas.aad import aad_modulate, aad_modulate_reference
+
+    B, H, W, C = 1, 48, 32, 8
+    h = jnp.asarray(rng.standard_normal((B, H, W, C), dtype=np.float32))
+    ga = jnp.asarray(rng.standard_normal((B, H, W, C), dtype=np.float32))
+    bb = jnp.asarray(rng.standard_normal((B, H, W, C), dtype=np.float32))
+    idgb = jnp.asarray(rng.standard_normal((B, 2 * C), dtype=np.float32))
+    mk = jnp.asarray(rng.standard_normal((1, 1, C, 1), dtype=np.float32))
+    mb = jnp.asarray(rng.standard_normal((1,), dtype=np.float32))
+
+    ref = aad_modulate_reference(h, ga, bb, idgb, mk, mb)
+    out = aad_modulate(h, ga, bb, idgb, mk, mb, block_rows=1024)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_aad_layer_fused_equals_unfused(rng):
     """AADLayer(fused=True) == AADLayer(fused=False) on the SAME params
     (identical param tree by construction — converters untouched)."""

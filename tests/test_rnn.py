@@ -89,3 +89,34 @@ def test_relu_tanh_cells_run():
         y, lasts = rnn_forward(kind, params, jnp.zeros((6, 2, 4)))
         assert y.shape == (6, 2, 3)
         assert len(lasts) == 2
+
+
+def test_h0_continuation():
+    """Streaming continuation: feeding chunk 2 with chunk 1's
+    last_hidden as h0 must equal the one-shot run (h0 was previously
+    accepted and silently ignored)."""
+    import jax
+    from ghost_tpu.nn.rnn import init_rnn_params
+
+    for kind, bidir in (("lstm", False), ("gru", False)):
+        params = init_rnn_params(jax.random.key(1), kind, 4, 3,
+                                 num_layers=2)
+        x = jnp.asarray(np.random.default_rng(0).standard_normal(
+            (8, 2, 4)).astype(np.float32))
+        y_full, last_full = rnn_forward(kind, params, x,
+                                        bidirectional=bidir)
+        y1, h1 = rnn_forward(kind, params, x[:4], bidirectional=bidir)
+        y2, h2 = rnn_forward(kind, params, x[4:], h0=h1,
+                             bidirectional=bidir)
+        np.testing.assert_allclose(
+            np.asarray(jnp.concatenate([y1, y2], axis=0)),
+            np.asarray(y_full), atol=1e-6)
+        for a, b in zip(h2, last_full):
+            np.testing.assert_allclose(np.asarray(jnp.stack(a)),
+                                       np.asarray(jnp.stack(b)), atol=1e-6)
+
+    # mismatched layer count is a loud error
+    params = init_rnn_params(jax.random.key(1), "lstm", 4, 3, num_layers=2)
+    import pytest
+    with pytest.raises(ValueError):
+        rnn_forward("lstm", params, jnp.zeros((4, 2, 4)), h0=[None])

@@ -113,11 +113,12 @@ class TVitBlock(tnn.Module):
     def __init__(self, dim, heads, window_size, input_size):
         super().__init__()
         self.window_size = window_size
-        self.norm1 = tnn.LayerNorm(dim)
+        # upstream build_sam: image-encoder norm_layer eps=1e-6
+        self.norm1 = tnn.LayerNorm(dim, eps=1e-6)
         self.attn = TVitAttention(
             dim, heads,
             input_size if window_size == 0 else (window_size, window_size))
-        self.norm2 = tnn.LayerNorm(dim)
+        self.norm2 = tnn.LayerNorm(dim, eps=1e-6)
         self.mlp = TMLPBlock(dim, dim * 4)
 
     def forward(self, x):
