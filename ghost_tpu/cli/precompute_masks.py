@@ -115,17 +115,21 @@ def main(argv=None):
     files = sorted(glob.glob(os.path.join(args.input_dir, "*.*g")))
     for i in range(0, len(files), args.batch_size):
         chunk = files[i : i + args.batch_size]
-        imgs = []
+        imgs, kept = [], []
         for f in chunk:
             img = cv2.imread(f)
             if img is None:
+                # zip against the KEPT files only: pairing masks with the
+                # original chunk would shift every mask after an unreadable
+                # file onto the wrong basename
                 continue
             imgs.append(cv2.resize(img[:, :, ::-1], (256, 256)))
+            kept.append(f)
         if not imgs:
             continue
         batch = jnp.asarray(np.stack(imgs), jnp.float32)
         out = np.asarray(masks_for(batch))
-        for f, m in zip(chunk, out):
+        for f, m in zip(kept, out):
             base = os.path.splitext(os.path.basename(f))[0]
             cv2.imwrite(os.path.join(args.output_dir, f"{base}.png"),
                         (m[..., 0] * 255).astype(np.uint8))

@@ -49,6 +49,19 @@ class PrefetchLoader:
         failures = [0]
         fail_budget = max(2 * len(self.dataset), 64)
 
+        def put_or_stop(it) -> bool:
+            # Bounded put that still honors `stop`: a consumer that exits
+            # early (break from the train loop, raised exception) must not
+            # strand workers blocked on the full queue — leaked threads
+            # GIL-convoy later host work on the 1-core box.
+            while not stop.is_set():
+                try:
+                    item_q.put(it, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def worker():
             while not stop.is_set():
                 try:
@@ -56,34 +69,45 @@ class PrefetchLoader:
                 except queue.Empty:
                     return
                 try:
-                    item_q.put(self.dataset[i])
+                    item = self.dataset[i]
                 except Exception as e:
                     # skip unreadable samples (the reference's per-sample
                     # try/except resilience, train.py:101-165) — but a
                     # fully unreadable dataset must surface, not spin
                     failures[0] += 1
                     if failures[0] > fail_budget:
-                        item_q.put(RuntimeError(
-                            f"dataset unreadable: {failures[0]} consecutive "
-                            f"sample failures (last: {e!r})"))
+                        put_or_stop(RuntimeError(
+                            f"dataset unreadable: {failures[0]} sample "
+                            f"failures (last: {e!r})"))
                         return
                     idx_q.put(int(np.random.default_rng().integers(len(self.dataset))))
+                    continue
+                failures[0] = 0
+                if not put_or_stop(item):
+                    return
 
         threads = [threading.Thread(target=worker, daemon=True)
                    for _ in range(self.num_workers)]
         for t in threads:
             t.start()
         try:
+            remaining = n_items
             for _ in range(n_batches):
+                # Final batch under drop_last=False is short: asking the
+                # queue for a full batch_size would block forever.
+                want = min(self.batch_size, remaining)
                 items = []
-                while len(items) < self.batch_size:
+                while len(items) < want:
                     it = item_q.get()
                     if isinstance(it, Exception):
                         raise it
                     items.append(it)
+                remaining -= want
                 batch = {
                     k: np.stack([it[k] for it in items]) for k in items[0]
                 }
                 yield batch
         finally:
             stop.set()
+            for t in threads:
+                t.join(timeout=2.0)

@@ -193,3 +193,27 @@ def test_convert_cli_srvgg(tmp_path):
     np.testing.assert_allclose(np.asarray(y),
                                ref.numpy().transpose(0, 2, 3, 1),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_precompute_masks_hull_skips_unreadable(tmp_path):
+    """Hull-mask CLI: an unreadable file inside a chunk must not shift
+    the remaining masks onto the wrong basenames (masks pair with the
+    KEPT files, not the original chunk)."""
+    cv2 = pytest.importorskip("cv2")
+    from ghost_tpu.cli.precompute_masks import main
+
+    src, dst = tmp_path / "crops", tmp_path / "masks"
+    src.mkdir(), dst.mkdir()
+    rng = np.random.default_rng(0)
+    for name in ("a.jpg", "c.jpg"):
+        cv2.imwrite(str(src / name),
+                    rng.integers(0, 255, (64, 64, 3), dtype=np.uint8))
+    (src / "b.jpg").write_bytes(b"not an image")  # sorts between a and c
+
+    main(["--input_dir", str(src), "--output_dir", str(dst),
+          "--batch_size", "4"])
+
+    assert not (dst / "b.png").exists()
+    for name in ("a.png", "c.png"):
+        m = cv2.imread(str(dst / name), cv2.IMREAD_GRAYSCALE)
+        assert m is not None and m.shape == (256, 256)

@@ -98,6 +98,45 @@ def test_celeba_dataset_and_loader(tmp_path):
     assert batches[0]["same_person"].shape == (4,)
 
 
+def test_loader_drop_last_false_short_final_batch(tmp_path):
+    """drop_last=False used to DEADLOCK on the final short batch: the
+    consumer always collected batch_size items but only len%batch_size
+    ever arrived. The final batch must come back short instead."""
+    from ghost_tpu.data.datasets import CelebAStyleDataset
+
+    d = make_image_dir(tmp_path, n=6)
+    ds = CelebAStyleDataset(d)
+    loader = PrefetchLoader(ds, batch_size=4, num_workers=2, shuffle=False,
+                            drop_last=False)
+    assert len(loader) == 2
+    batches = list(loader)
+    assert len(batches) == 2
+    assert batches[0]["xs"].shape[0] == 4
+    assert batches[1]["xs"].shape[0] == 2
+
+
+def test_loader_early_break_joins_workers(tmp_path):
+    """A consumer that breaks mid-epoch must not strand workers blocked
+    on the bounded item queue (leaked threads GIL-convoy later ctypes
+    work on this 1-core host — see CLAUDE.md ring-throughput note)."""
+    import threading
+    import time
+
+    from ghost_tpu.data.datasets import CelebAStyleDataset
+
+    d = make_image_dir(tmp_path, n=16)
+    ds = CelebAStyleDataset(d)
+    before = threading.active_count()
+    loader = PrefetchLoader(ds, batch_size=2, num_workers=2, prefetch=1)
+    it = iter(loader)
+    next(it)  # workers now racing to fill the bounded queue
+    it.close()  # early break: generator finally must stop + join workers
+    deadline = time.monotonic() + 5.0
+    while threading.active_count() > before and time.monotonic() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before
+
+
 def test_loader_unreadable_dataset_raises():
     """ADVICE r1: a fully unreadable dataset must raise, not respin
     random indices forever."""
