@@ -68,19 +68,24 @@ def measure_fused(chunk: int, group: int, iters: int = 4) -> float:
     # array (selected once per video by the probe chunk, amortized away)
     mask_params = jnp.asarray([[5.0, 5.0, 5.0, 2.0]], jnp.float32)
 
-    # one fused dispatch to compile (cache hit = seconds)
+    checksum_fn = jax.jit(lambda x: jnp.sum(x.astype(jnp.float32)))
+    _ = float(checksum_fn(frames_d))  # compile the checksum program
+
+    # one fused dispatch to compile (cache hit = seconds). Timed via a
+    # data-dependent scalar pull — block_until_ready can return before
+    # device execution finishes on this remote-attached platform, so a
+    # block_until_ready-based number would not be trustworthy
+    # (VERDICT r3 weak #7)
     t0 = time.time()
     out = pipe._detect_swap(frames_d, tgt_emb, src_emb, mask_params)
-    jax.block_until_ready(out)
+    _ = float(checksum_fn(out))
     _log(f"tier chunk={chunk}/group={group}: first dispatch "
-         f"{time.time() - t0:.1f}s")
+         f"{time.time() - t0:.1f}s (compile+execute, checksum-forced)")
 
     # timed steady state. Iterations are chained (each chunk's blended
     # output is the next chunk's input) so every step depends on real
     # prior results — nothing can be constant-folded, cached, or
     # overlapped away.
-    checksum_fn = jax.jit(lambda x: jnp.sum(x.astype(jnp.float32)))
-    _ = float(checksum_fn(frames_d))  # compile the checksum program
 
     cur = frames_d
     t0 = time.time()

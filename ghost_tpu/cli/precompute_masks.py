@@ -127,8 +127,16 @@ def main(argv=None):
             kept.append(f)
         if not imgs:
             continue
+        # Pad short chunks (tail, or unreadable files skipped) up to
+        # batch_size by repeating the last kept image: every call to the
+        # jitted masks_for then sees ONE batch shape, so skipped files
+        # can't trigger per-shape retraces (expensive over the TPU
+        # relay). Only the first len(kept) outputs are written.
+        n_kept = len(imgs)
+        while len(imgs) < args.batch_size:
+            imgs.append(imgs[-1])
         batch = jnp.asarray(np.stack(imgs), jnp.float32)
-        out = np.asarray(masks_for(batch))
+        out = np.asarray(masks_for(batch))[:n_kept]
         for f, m in zip(kept, out):
             base = os.path.splitext(os.path.basename(f))[0]
             cv2.imwrite(os.path.join(args.output_dir, f"{base}.png"),

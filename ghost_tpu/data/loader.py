@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
+import warnings
 from typing import Iterator
 
 import numpy as np
@@ -98,7 +100,20 @@ class PrefetchLoader:
                 want = min(self.batch_size, remaining)
                 items = []
                 while len(items) < want:
-                    it = item_q.get()
+                    # Bounded get with a liveness check: a worker dying
+                    # via a non-Exception throwable (KeyboardInterrupt,
+                    # MemoryError) escapes its `except Exception` and
+                    # leaves nothing in the queue — a bare get() would
+                    # then block the consumer forever.
+                    try:
+                        it = item_q.get(timeout=1.0)
+                    except queue.Empty:
+                        if not any(t.is_alive() for t in threads):
+                            raise RuntimeError(
+                                "PrefetchLoader: all worker threads died "
+                                "without delivering the remaining items "
+                                f"({len(items)}/{want} of this batch)")
+                        continue
                     if isinstance(it, Exception):
                         raise it
                     items.append(it)
@@ -109,5 +124,18 @@ class PrefetchLoader:
                 yield batch
         finally:
             stop.set()
+            # Shared deadline across the joins (per-thread timeouts add
+            # up to 2s*num_workers on consumer exit), and a visible
+            # warning if a worker is stuck in a slow dataset[i] read —
+            # silently leaked threads GIL-convoy later ctypes/host work
+            # on the 1-core box (see tests/test_data_runtime.py notes).
+            deadline = time.monotonic() + 2.0
             for t in threads:
-                t.join(timeout=2.0)
+                t.join(timeout=max(0.0, deadline - time.monotonic()))
+            leaked = sum(t.is_alive() for t in threads)
+            if leaked:
+                warnings.warn(
+                    f"PrefetchLoader: {leaked} worker thread(s) still "
+                    "alive 2s after consumer exit (stuck dataset read?) "
+                    "— they will die with the process but may slow "
+                    "host-side work until then", RuntimeWarning)

@@ -342,9 +342,31 @@ class SwapPipeline:
         y = (y * 0.5 + 0.5) * 255.0
 
         if self.sr is not None:
+            # Per-TARGET-lane SR with a scalar cond skip (the enhancer's
+            # lane-skip pattern, enhance.py one_lane): the reference runs
+            # its SR on every final_frame unconditionally
+            # (video_processing.py:263-285), but a lane absent across
+            # the whole chunk contributes nothing to the paste — a
+            # 1-identity-present multi-target video pays 1 SR lane
+            # instead of T. All-present chunks (the bench) trace to the
+            # same total SR work as the unconditional form.
             sr_mod, _ = self.sr
-            y = sr_mod.apply(variables["sr"], (y / 255.0 - 0.5) / 0.5)
-            y = (y * 0.5 + 0.5) * 255.0
+            gs = y.shape[1]
+            y_l = y.reshape(b, t, gs, gs, 3)
+
+            def sr_lane(y_lane, pres):
+                def run(v):
+                    r = sr_mod.apply(variables["sr"],
+                                     (v / 255.0 - 0.5) / 0.5)
+                    return ((r * 0.5 + 0.5) * 255.0).astype(jnp.float32)
+
+                return jax.lax.cond(jnp.any(pres), run,
+                                    lambda v: v.astype(jnp.float32),
+                                    y_lane)
+
+            y = jnp.stack([sr_lane(y_l[:, j], present[:, j])
+                           for j in range(t)], axis=1)
+            y = y.reshape(b * t, gs, gs, 3)
 
         swap224 = resize(y, (cs, cs), method="bilinear")
 

@@ -67,6 +67,7 @@ def train_loop(
     max_steps: Optional[int] = None,
     preemption=None,
     start_iteration: int = 0,
+    on_step: Optional[Callable] = None,
 ):
     """Run the GAN loop. Returns final state.
 
@@ -99,6 +100,15 @@ def train_loop(
             if iteration % cfg.d_interval == 0:
                 state, loss_d = jit_d(state, y, batch["xs"])
                 metrics["lossD"] = loss_d
+
+            if on_step is not None:
+                # per-step observer for convergence artifacts
+                # (TRAIN_r04): floats force a host sync each step —
+                # only pass on_step when recording a run, not when
+                # racing one
+                on_step(iteration,
+                        {k: float(v) for k, v in metrics.items()},
+                        dict(mults))
 
             if cfg.distill and cfg.ratchets:
                 # host-side multiplier ratchets (train.py:328-338):

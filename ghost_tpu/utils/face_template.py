@@ -54,6 +54,56 @@ def face_template_106() -> np.ndarray:
     return np.clip(pts, -0.9, 0.9)
 
 
+def inject_detection_template(det_vars, d: float = 6.0,
+                              wiggle_scale: float = 0.05):
+    """Return a copy of random-weight SCRFD variables whose shared head
+    proposes geometrically plausible faces everywhere.
+
+    With random weights the head's kps offsets are arbitrary, so any
+    composition built on the detected 5-pt alignment (the enhancer's
+    umeyama to the FFHQ template) is exercised on degenerate geometry.
+    This rewrites the head's three output convs (models/scrfd.py
+    SCRFDHead 'score'/'bbox'/'kps'):
+
+      * kps bias = a face-like 5-pt constellation in STRIDE units
+        (decode_detections multiplies raw kps by the stride, so the
+        constellation scales with the pyramid level), proportioned
+        like facexlib's FFHQ template (eyes / nose / mouth corners);
+      * bbox bias = a matching square-ish box (l,t,r,b stride units);
+      * score bias = logit(0.7) with the kernel scaled down, so every
+        location fires at ~0.7 plus a small input-dependent wiggle —
+        NMS then keeps a deterministic, input-dependent, spatially
+        spread set of plausible "faces".
+
+    The backbone/neck still run and still shape the wiggle; only the
+    head's output statistics are pinned.
+    """
+    import jax
+
+    # FFHQ-template proportions, centered, in units of d strides:
+    # eye span ~ 1.1d, nose below center, mouth corners low
+    kps5 = np.array([[-0.55, -0.30], [0.55, -0.30], [0.0, 0.35],
+                     [-0.48, 0.85], [0.48, 0.85]], np.float32) * d
+    box = np.array([d, 1.2 * d, d, 1.5 * d], np.float32)  # l,t,r,b
+
+    vars_ = jax.tree.map(lambda x: x, det_vars)
+    params = dict(vars_["params"])
+    head = dict(params["head"])
+    for name, bias in (
+        ("score", np.full((2,), np.log(0.7 / 0.3), np.float32)),
+        ("bbox", np.tile(box, 2)),
+        ("kps", np.tile(kps5.reshape(-1), 2)),
+    ):
+        conv = dict(head[name])
+        conv["kernel"] = conv["kernel"] * wiggle_scale
+        conv["bias"] = conv["bias"] * wiggle_scale + bias
+        head[name] = conv
+    params["head"] = head
+    out = dict(vars_)
+    out["params"] = params
+    return out
+
+
 def inject_landmark_template(lmk_vars, fc_name: str = "fc",
                              wiggle_scale: float = 0.02):
     """Return a copy of the Landmark106 variables whose `fc` layer

