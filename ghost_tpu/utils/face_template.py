@@ -94,10 +94,13 @@ def inject_detection_template(det_vars, d: float = 6.0,
         ("bbox", np.tile(box, 2)),
         ("kps", np.tile(kps5.reshape(-1), 2)),
     ):
-        conv = dict(head[name])
+        # nn/layers.Conv wraps the flax conv as 'Conv_0'
+        outer = dict(head[name])
+        conv = dict(outer["Conv_0"])
         conv["kernel"] = conv["kernel"] * wiggle_scale
         conv["bias"] = conv["bias"] * wiggle_scale + bias
-        head[name] = conv
+        outer["Conv_0"] = conv
+        head[name] = outer
     params["head"] = head
     out = dict(vars_)
     out["params"] = params

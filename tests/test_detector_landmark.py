@@ -107,3 +107,47 @@ def test_landmarks_from_crops_coordinates():
     assert pts.shape == (3, 106, 2)
     # net center (96,96) -> IM -> 1.75*96-56 = 112 = crop center
     np.testing.assert_allclose(np.asarray(pts), 112.0, atol=1e-4)
+
+
+def test_detection_template_injection():
+    """inject_detection_template turns a random-weight SCRFD into a
+    plausible-geometry face proposer: detections fire, kps are a
+    non-degenerate 5-pt constellation with eyes above mouth and a
+    left/right split (so umeyama alignment to the FFHQ template is
+    well-conditioned), and runs are deterministic."""
+    from ghost_tpu.utils.face_template import inject_detection_template
+
+    det = SCRFD(policy=FULL_PRECISION)
+    # small input keeps the test fast; strides still produce anchors
+    size = 320
+    variables = det.init(jax.random.key(3), jnp.zeros((1, size, size, 3)))
+    variables = inject_detection_template(variables)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(0, 255, (1, size, size, 3))
+                    .astype(np.float32))
+    outs = det.apply(variables, x)
+    scores, boxes, kps = decode_detections(outs, input_size=size,
+                                           score_thresh=0.5, max_faces=2)
+    scores = np.asarray(scores)[0]
+    kps = np.asarray(kps)[0]
+    boxes = np.asarray(boxes)[0]
+    assert (scores > 0).all(), scores  # template fires everywhere
+
+    for lane in range(2):
+        k = kps[lane]  # (5,2): [eyeL, eyeR, nose, mouthL, mouthR]
+        # non-degenerate spread
+        assert np.ptp(k[:, 0]) > 1.0 and np.ptp(k[:, 1]) > 1.0, k
+        # eyes above mouth (y grows downward)
+        assert k[0, 1] < k[3, 1] and k[1, 1] < k[4, 1], k
+        # left/right split
+        assert k[0, 0] < k[1, 0] and k[3, 0] < k[4, 0], k
+        # kps inside the proposed box (loose)
+        x0, y0, x1, y1 = boxes[lane]
+        assert (k[:, 0] > x0 - 5).all() and (k[:, 0] < x1 + 5).all()
+
+    # deterministic
+    outs2 = det.apply(variables, x)
+    s2, _, k2 = decode_detections(outs2, input_size=size,
+                                  score_thresh=0.5, max_faces=2)
+    np.testing.assert_array_equal(np.asarray(k2)[0], kps)
