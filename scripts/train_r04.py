@@ -6,10 +6,18 @@ two full-width overfit runs on the real chip through the PRODUCTION
 components (FaceEmbedDataset -> PrefetchLoader -> make_train_steps ->
 train_loop, the same wiring as cli/train.py):
 
-  1. canonical GHOST mode (adv/id/attr/rec, D every 10) for 1200 steps;
-  2. native-teacher distillation (mode self_distill: frozen JAX teacher,
-     teacher-residual/multi-round/id_hq terms, host-side multiplier
-     ratchets per reference train.py:328-338) for 1200 steps.
+  1. canonical GHOST mode (adv/id/attr/rec, D every 10, production
+     augs) for 1200 steps — the GAN-dynamics record;
+  1b. canonical WITHOUT augs (jitter off, same_prob 1.0) — the pure
+     overfit whose reconstruction term can collapse multi-fold (with
+     jitter on, L_rec bottoms out at the jitter spread);
+  2. native-teacher distillation (mode distill: a frozen full-width AEI
+     teacher runs as its OWN jitted program with variables passed as
+     arguments — closure-capturing it in the G step embeds ~0.5 GB of
+     HLO constants and the relay aborts the upload — feeding a
+     device-resident batch["teacher_y"]; teacher-residual/multi-round/
+     id_hq terms + host-side multiplier ratchets per reference
+     train.py:328-338) for 1200 steps.
 
 Dataset: the 7 real face crops produced by prep_train_data_r04.py
 (reference example portraits located by the real SCRFD-2.5GF
@@ -139,7 +147,8 @@ def main():
 
     # merge into an existing artifact (GHOST_TRAIN_R04_ONLY reruns a
     # single regime without clobbering the others' recorded runs)
-    only = os.environ.get("GHOST_TRAIN_R04_ONLY", "")
+    only = [x for x in os.environ.get(
+        "GHOST_TRAIN_R04_ONLY", "").split(",") if x]
     prior_runs = {}
     if only and os.path.exists(OUT_JSON):
         try:
@@ -171,7 +180,9 @@ def main():
         with open(OUT_JSON, "w") as f:
             json.dump(results, f)
 
-    def run(name, mode, teacher_apply=None, b_iter=None):
+    def run(name, mode, teacher_apply=None, b_iter=None, steps=None,
+            show_step=None):
+        steps = steps or STEPS
         print(f"=== {name} ===", flush=True)
         cfg = TrainStepConfig(mode=mode)
         g_step, d_step = make_train_steps(
@@ -182,7 +193,7 @@ def main():
 
         series: dict = {}
         mult_series: dict = {}
-        rec = {"steps": STEPS, "mode": mode, "series": series,
+        rec = {"steps": steps, "mode": mode, "series": series,
                "mults": mult_series, "nonfinite_steps": 0}
         results["runs"][name] = rec
         t_start = time.time()
@@ -209,16 +220,16 @@ def main():
         out_dir = f"/tmp/ghost_train_r04/{name}"
         loop_cfg = LoopConfig(
             max_epochs=100000, d_interval=10, print_interval=50,
-            show_step=STEPS, save_interval=10 * STEPS,
+            show_step=show_step or steps, save_interval=10 * steps,
             output_dir=out_dir, run_name=name,
             distill=(mode != "canonical"), ratchets=True)
         state, last = train_loop(state, g_step, d_step, b_iter,
-                                 loop_cfg, max_steps=STEPS + 1,
+                                 loop_cfg, max_steps=steps + 1,
                                  on_step=on_step)
         wall = time.time() - t_start
         rec["wall_s"] = wall
         rec["first_step_s"] = t_first[0]
-        rec["steps_per_s_post_compile"] = (STEPS + 1 - 1) / max(
+        rec["steps_per_s_post_compile"] = (steps + 1 - 1) / max(
             wall - (t_first[0] or 0), 1e-9)
         rec["final_metrics"] = last
 
@@ -239,33 +250,104 @@ def main():
         flush()
 
         os.makedirs(GRID_DIR, exist_ok=True)
-        grids = sorted(glob.glob(os.path.join(out_dir, "images", "*.jpg")))
+        # sort by the STEP suffix of the filename, not lexically (epoch
+        # numbers vary in width, e.g. 300_001200 sorts before 3_000012)
+        grids = sorted(glob.glob(os.path.join(out_dir, "images", "*.jpg")),
+                       key=lambda p: int(p.rsplit("_", 1)[1][:-4]))
         if grids:
             shutil.copy(grids[0], os.path.join(GRID_DIR, f"{name}_start.jpg"))
             shutil.copy(grids[-1], os.path.join(GRID_DIR, f"{name}_end.jpg"))
+            if len(grids) > 2:  # mid-run progression snapshot
+                shutil.copy(grids[len(grids) // 2],
+                            os.path.join(GRID_DIR, f"{name}_mid.jpg"))
         print(f"{name}: wall={wall:.0f}s reductions="
               f"{json.dumps(rec['reductions'])}", flush=True)
 
     # run 1: canonical GHOST (production augs: the GAN-dynamics record)
-    if only in ("", "canonical"):
+    if not only or "canonical" in only:
         run("canonical", "canonical")
 
     # run 1b: canonical WITHOUT augs, same_prob=1 (pure overfit: the
     # multi-fold reconstruction-collapse record — with jitter on,
     # L_rec bottoms out at the jitter spread, not at trainability)
-    if only in ("", "canonical_noaug"):
+    if not only or "canonical_noaug" in only:
         run("canonical_noaug", "canonical",
             b_iter=make_batch_iter(1.0, False))
 
     # run 2: native-teacher distillation (frozen differently-initialized
-    # AEI teacher — the self_distill regime, reference train-self.py)
-    if only in ("", "distill"):
+    # AEI teacher). The teacher runs as its OWN jitted program with its
+    # variables passed as ARGUMENTS and its output staying device-
+    # resident in batch["teacher_y"] (mode="distill" — the same loss
+    # terms as self_distill, train_step.py:213-260). Closure-capturing
+    # a full-width teacher inside the G step embeds ~0.5 GB of HLO
+    # constants, which the relay's remote_compile rejects mid-upload
+    # (broken pipe — observed on the first r04 attempt; CLAUDE.md's
+    # HTTP-413 rule).
+    if not only or "distill" in only or "distill_noaug" in only:
         t_gen = AEINet(backbone="unet", num_blocks=2, policy=policy,
                        train=False, width=width)
         t_vars = t_gen.init(jax.random.key(7), jnp.zeros((1, 256, 256, 3)),
                             jnp.zeros((1, 512)))
-        teacher_apply = lambda xt, z: t_gen.apply(t_vars, xt, z)[0]
-        run("distill_native_teacher", "self_distill", teacher_apply)
+        t_fwd = jax.jit(lambda v, xt, z: t_gen.apply(v, xt, z)[0])
+
+        def with_teacher(batches):
+            for b in batches:
+                b = dict(b)
+                # device-resident: no D2H of the 6 MB teacher frame
+                b["teacher_y"] = t_fwd(t_vars, jnp.asarray(b["xt"]),
+                                       jnp.asarray(b["embed"]))
+                yield b
+
+        if not only or "distill" in only:
+            run("distill_native_teacher", "distill",
+                b_iter=lambda: with_teacher(batch_iter()))
+
+        # run 2b: distillation WITHOUT augs (jitter off, same_prob 1.0).
+        # With jitter on, the student must match the RANDOM teacher as a
+        # FUNCTION of a freshly-jittered input every step — a random
+        # full-width AEI is high-Lipschitz in its input, so L_teacher
+        # floors near the teacher's own jitter response (~2.2x observed
+        # over 1200 steps) rather than at trainability. Fixed inputs
+        # make the 7 teacher outputs FIXED targets the student can
+        # memorize: the multi-fold teacher-loss collapse record.
+        if not only or "distill_noaug" in only:
+            run("distill_noaug", "distill",
+                b_iter=lambda: with_teacher(make_batch_iter(1.0, False)()))
+
+    # run 3 (explicit-only: needs the video harvest): canonical GHOST
+    # on ~500 DISTINCT video-frame crops (prep_video_data_r04.py). The
+    # 7-portrait set is degenerate for canonical GAN dynamics — the
+    # full-width multiscale D memorizes 7 reals in a few hundred steps,
+    # the hinge saturates, and G can fall into the instance-norm
+    # constant blind spot (the black-Y equilibrium the first
+    # canonical_noaug run recorded). A few hundred distinct frames keep
+    # D honest, so this is the GAN-dynamics record that matches how the
+    # reference actually trains (reference TRAINME.txt:267-288).
+    if "canonical_video" in only:
+        import cv2
+
+        crops = np.load("/tmp/ghost_video_crops_r04.npy")
+        vdir = "/tmp/ghost_faces_video_r04"
+        os.makedirs(vdir, exist_ok=True)
+        for i, c in enumerate(crops):
+            cv2.imwrite(os.path.join(vdir, f"f{i:04d}.png"),
+                        c[:, :, ::-1])
+        results["dataset"]["video_run"] = {
+            "n_images": int(crops.shape[0]),
+            "source": "reference example mp4 frames cropped by the REAL "
+                      "SCRFD-2.5GF checkpoint "
+                      "(scripts/prep_video_data_r04.py)"}
+
+        def make_video_iter():
+            ds = FaceEmbedDataset([vdir], same_prob=0.8, seed=0)
+            loader = PrefetchLoader(ds, B, num_workers=2, shuffle=True,
+                                    seed=0)
+            return with_embeds(iter(loader))
+
+        run("canonical_video", "canonical", b_iter=make_video_iter,
+            steps=int(os.environ.get("GHOST_TRAIN_R04_VIDEO_STEPS",
+                                     "3000")),
+            show_step=500)
 
     flush()
     print("done ->", OUT_JSON, flush=True)
