@@ -113,10 +113,18 @@ def main():
     step, tx = make_enhancer_distill_step(student, lr=2e-4)
     s_params0, s_opt = s_vars["params"], tx.init(s_vars["params"])
 
-    # one fused jitted step: sample a fresh degradation + student update
+    # one fused jitted step: batch selection + fresh degradation +
+    # student update in a single program. The training set stays
+    # device-resident (uploading the 18 MB patch array every step costs
+    # ~0.2 s over this relay's ~100 MB/s H2D — it dominated the step).
+    train_hq_d = jnp.asarray(train_hq)
+
     @jax.jit
-    def train_step(params, opt, key, hq):
-        lq = degrade(key, hq, lq_size)
+    def train_step(params, opt, key, hq_all):
+        k_b, k_d = jax.random.split(key)
+        idx = jax.random.randint(k_b, (BATCH,), 0, hq_all.shape[0])
+        hq = hq_all[idx]
+        lq = degrade(k_d, hq, lq_size)
         return step(params, opt, lq, hq)
 
     # held-out evaluation: FIXED degradations (same lq for every
@@ -146,10 +154,8 @@ def main():
     t0 = time.time()
     losses = {}
     for it in range(STEPS):
-        key, k_b, k_d = jax.random.split(key, 3)
-        idx = jax.random.randint(k_b, (BATCH,), 0, train_hq.shape[0])
-        hq = jnp.asarray(train_hq)[idx]
-        params, opt, metrics = train_step(params, opt, k_d, hq)
+        key, k = jax.random.split(key)
+        params, opt, metrics = train_step(params, opt, k, train_hq_d)
         if it % 200 == 0 or it == STEPS - 1:
             l1 = float(metrics["l1"])
             losses[it] = round(l1, 5)
