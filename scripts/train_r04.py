@@ -125,12 +125,26 @@ def main():
     a_vars = arc.init(key, jnp.zeros((1, 112, 112, 3)))
     arc_apply = lambda x: arc.apply(a_vars, x)
 
+    # Embeddings are rescaled to the TRAINED-backbone statistic: a
+    # random-init iresnet100 emits features with norm ~25,000 (trained
+    # ArcFace backbones: O(25)), and at the raw scale the AAD
+    # id-injection saturates the generator's tanh output 99.9% from
+    # step 0 — gradients die and Y freezes bitwise (the first r04 runs
+    # recorded exactly this: period-4 exact loss repeats, near-constant
+    # end grids — the same "model that blacks out after 1k-2k runs"
+    # failure the reference's own lab notebook hit, reference
+    # TRAINME.txt:281). The production CLI feeds raw netArc features
+    # like the reference (train.py:95) — correct WITH trained weights;
+    # this rescale emulates the trained-weights statistic, which is the
+    # only embedding property that matters for optimization.
     embed_fn = jax.jit(
         lambda x: arc_apply(resize(x, (112, 112), method="area")))
 
     def with_embeds(batches):
         for b in batches:
-            b["embed"] = np.asarray(embed_fn(jnp.asarray(b["xs_arcface"])))
+            e = embed_fn(jnp.asarray(b["xs_arcface"]))
+            e = e / jnp.linalg.norm(e, axis=-1, keepdims=True) * 25.0
+            b["embed"] = np.asarray(e)
             yield b
 
     def make_batch_iter(same_prob, jitter):
@@ -283,33 +297,30 @@ def main():
     # constants, which the relay's remote_compile rejects mid-upload
     # (broken pipe — observed on the first r04 attempt; CLAUDE.md's
     # HTTP-413 rule).
-    if not only or "distill" in only or "distill_noaug" in only:
+    if not only or any(x.startswith("distill") for x in only):
         t_gen = AEINet(backbone="unet", num_blocks=2, policy=policy,
                        train=False, width=width)
         t_vars = t_gen.init(jax.random.key(7), jnp.zeros((1, 256, 256, 3)),
                             jnp.zeros((1, 512)))
         t_fwd = jax.jit(lambda v, xt, z: t_gen.apply(v, xt, z)[0])
 
-        def with_teacher(batches):
+        def with_teacher(batches, scale=1.0):
             for b in batches:
                 b = dict(b)
                 # device-resident: no D2H of the 6 MB teacher frame
-                b["teacher_y"] = t_fwd(t_vars, jnp.asarray(b["xt"]),
-                                       jnp.asarray(b["embed"]))
+                b["teacher_y"] = scale * t_fwd(
+                    t_vars, jnp.asarray(b["xt"]), jnp.asarray(b["embed"]))
                 yield b
 
         if not only or "distill" in only:
             run("distill_native_teacher", "distill",
                 b_iter=lambda: with_teacher(batch_iter()))
 
-        # run 2b: distillation WITHOUT augs (jitter off, same_prob 1.0).
-        # With jitter on, the student must match the RANDOM teacher as a
-        # FUNCTION of a freshly-jittered input every step — a random
-        # full-width AEI is high-Lipschitz in its input, so L_teacher
-        # floors near the teacher's own jitter response (~2.2x observed
-        # over 1200 steps) rather than at trainability. Fixed inputs
-        # make the 7 teacher outputs FIXED targets the student can
-        # memorize: the multi-fold teacher-loss collapse record.
+        # run 2b: distillation WITHOUT augs (jitter off, same_prob 1.0):
+        # the teacher's 7 outputs are FIXED targets the student can
+        # memorize — the multi-fold teacher-loss collapse record (with
+        # jitter on, the student must track the teacher as a FUNCTION
+        # of a freshly-jittered input, a strictly harder target).
         if not only or "distill_noaug" in only:
             run("distill_noaug", "distill",
                 b_iter=lambda: with_teacher(make_batch_iter(1.0, False)()))
