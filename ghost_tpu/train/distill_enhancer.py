@@ -37,7 +37,6 @@ import jax.numpy as jnp
 import optax
 
 from ghost_tpu.nn.layers import resize
-from ghost_tpu.train.optimizers import ghost_adam
 
 
 # ---------------------------------------------------------------------------
@@ -206,8 +205,18 @@ def make_enhancer_distill_step(
     output for the SAME lq batch, computed by the caller (so the
     teacher pass can be chunked/precomputed independently of the
     student step) — stop-gradient is applied defensively here too.
+
+    Default optimizer is Adam(b1=0.9, b2=0.999, no weight decay) — the
+    Real-ESRGAN training recipe. NOT `ghost_adam`: its GAN-parity
+    defaults (b1=0, L2-coupled wd=1e-4) are wrong for this regression —
+    the per-param L1 loss gradient here is ~1e-6 (mean over ~1e6 output
+    pixels) so the coupled decay term (1e-4·p) and per-batch noise
+    dominate it, and momentum-free Adam turns that into lr-magnitude
+    noise+decay steps: measured on TPU, 4000 such steps left held-out
+    PSNR unchanged to 0.005 dB while the same machinery under this
+    default learns real SR (DISTILL_VALUE_r04.json).
     """
-    tx = tx if tx is not None else ghost_adam(lr)
+    tx = tx if tx is not None else optax.adam(lr, b1=0.9, b2=0.999)
 
     def loss_fn(s_params, lq, target):
         y = student_mod.apply({"params": s_params}, lq)
