@@ -215,8 +215,11 @@ def main():
     }
     _record("lipspade_isolated_vs_roofline", verdict)
 
-    f4 = bench_config4()
+    # distilled seat FIRST: under end-of-round truncation the "quality
+    # path that can reach the north star" number is worth more than the
+    # config4 continuity re-measure (r03 already recorded 64.1 fps).
     f4a = bench_config4_alternative()
+    f4 = bench_config4()
     _record("config4_summary", {
         "lipspade_fps": round(f4, 1),
         "distilled_seat_fps": round(f4a, 1),
