@@ -41,9 +41,9 @@ TINY = os.environ.get("GHOST_DISTILL_R04_TINY", "") == "1"
 OUT = "/tmp/DISTILL_VALUE_r04.json" if TINY else os.path.join(
     REPO, "DISTILL_VALUE_r04.json")
 STEPS = int(os.environ.get("GHOST_DISTILL_R04_STEPS",
-                           "60" if TINY else "4000"))
+                           "60" if TINY else "40000"))
 HELD_OUT = ("beckham.jpg", "murakami.jpg", "tgt2.png")
-PATCH, SCALE, BATCH = 128, 4, 16
+PATCH, SCALE, BATCH = 128, 4, 64
 
 
 def harvest_patches(names, per_image, rng):
@@ -93,12 +93,18 @@ def main():
                                                   make_enhancer_distill_step)
     from ghost_tpu.utils.quality import psnr
 
-    names = sorted(
-        n for n in os.listdir(IMAGES)
-        if n.lower().endswith((".jpg", ".jpeg", ".png")))
-    train_names = [n for n in names if n not in HELD_OUT]
+    def images_in(rel=""):
+        d = os.path.join(IMAGES, rel)
+        return sorted(
+            os.path.join(rel, n) for n in os.listdir(d)
+            if n.lower().endswith((".jpg", ".jpeg", ".png")))
+
+    # top-level portraits + the reference's examples/images/training set
+    names = images_in() + images_in("training")
+    train_names = [n for n in names if os.path.basename(n) not in
+                   HELD_OUT]
     rng = np.random.default_rng(0)
-    train_hq = harvest_patches(train_names, 24, rng)
+    train_hq = harvest_patches(train_names, 64, rng)
     test_hq = harvest_patches(HELD_OUT, 16, rng)
     print(f"train patches: {train_hq.shape}, held-out: {test_hq.shape}",
           flush=True)
@@ -110,7 +116,12 @@ def main():
     lq_size = (PATCH // SCALE, PATCH // SCALE)
     s_vars = student.init(jax.random.key(0),
                           jnp.zeros((1, *lq_size, 3)))
-    step, tx = make_enhancer_distill_step(student, lr=2e-4)
+    # cosine-decayed Adam (b1=0.9 default — the Real-ESRGAN recipe;
+    # see make_enhancer_distill_step's docstring for why NOT ghost_adam)
+    import optax
+    lr = 2e-4 if TINY else optax.cosine_decay_schedule(
+        3e-4, STEPS, alpha=0.05)
+    step, tx = make_enhancer_distill_step(student, lr=lr)
     s_params0, s_opt = s_vars["params"], tx.init(s_vars["params"])
 
     # one fused jitted step: batch selection + fresh degradation +
