@@ -59,6 +59,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--detector_path", default="", help="SCRFD weights (msgpack)")
     p.add_argument("--landmark_path", default="", help="landmark weights (msgpack)")
     p.add_argument("--sr_path", default="", help="SR generator weights")
+    p.add_argument("--sr_model", default="lipspade",
+                   choices=["lipspade", "srvgg_student"],
+                   help="--use_sr seat: lipspade = the reference's SR "
+                        "generator on every swapped crop (roofline-"
+                        "walled at ~65 fps T=2, BENCH_EXTRA_r04.json); "
+                        "srvgg_student = a distilled SRVGG student "
+                        "(cli/distill_enhancer output; 97.3 fps T=2 "
+                        "all-lanes-present). Student hyperparams are "
+                        "inferred from the --sr_path checkpoint shapes")
     p.add_argument("--bf16", default=True, type=str2bool)
     p.add_argument("--allow_random_weights", default=False, type=str2bool,
                    help="run without checkpoints (smoke tests / demos)")
@@ -247,15 +256,35 @@ def load_pipeline(args):
 
     sr = None
     if cfg.use_sr:
-        from ghost_tpu.models.sr.generator import LIPSPADEGenerator
+        if args.sr_model == "srvgg_student":
+            from ghost_tpu.models.sr.srvgg import (
+                SRVGGNetCompact,
+                SRVGGStudentSeat,
+                srvgg_from_variables,
+            )
 
-        sr_mod = LIPSPADEGenerator(policy=policy)
-        if args.sr_path:
-            sr_vars = load_msgpack(args.sr_path)
+            if args.sr_path:
+                sr_vars = load_msgpack(args.sr_path)
+                student = srvgg_from_variables(sr_vars, policy=policy)
+            else:
+                student = SRVGGNetCompact(num_feat=32, num_conv=16,
+                                          upscale=2, policy=policy)
+                sr_vars = student.init(
+                    jax.random.key(0), jnp.zeros((1, 128, 128, 3)))
+                print("WARNING: random SR-student weights "
+                      "(--sr_path not given)")
+            sr = (SRVGGStudentSeat(student), sr_vars)
         else:
-            sr_vars = sr_mod.init(jax.random.key(0), jnp.zeros((1, 256, 256, 3)))
-            print("WARNING: random SR weights (--sr_path not given)")
-        sr = (sr_mod, sr_vars)
+            from ghost_tpu.models.sr.generator import LIPSPADEGenerator
+
+            sr_mod = LIPSPADEGenerator(policy=policy)
+            if args.sr_path:
+                sr_vars = load_msgpack(args.sr_path)
+            else:
+                sr_vars = sr_mod.init(jax.random.key(0),
+                                      jnp.zeros((1, 256, 256, 3)))
+                print("WARNING: random SR weights (--sr_path not given)")
+            sr = (sr_mod, sr_vars)
 
     return SwapPipeline((det, det_vars), (arc, arc_vars), (gen, gen_vars),
                         (lmk, lmk_vars), sr=sr, config=cfg)

@@ -21,7 +21,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ghost_tpu.core.precision import DEFAULT_POLICY, Policy
-from ghost_tpu.nn.layers import Conv
+from ghost_tpu.nn.layers import Conv, resize
 
 from .rrdb import nearest_up2
 
@@ -80,3 +80,60 @@ class SRVGGNetCompact(nn.Module):
                    dtype=cd, param_dtype=pd, name="conv_last")(out)
         out = pixel_shuffle(out, self.upscale)
         return out + nearest_up(x, self.upscale)
+
+
+def srvgg_from_variables(variables, policy: Policy = DEFAULT_POLICY,
+                         num_out_ch: int = 3) -> SRVGGNetCompact:
+    """Rebuild the SRVGGNetCompact module matching a saved variables
+    tree (e.g. a `cli/distill_enhancer` student msgpack) by reading the
+    hyperparameters off the parameter shapes: num_feat from conv_0's
+    output width, num_conv from the body conv count, upscale from
+    conv_last's pixel-shuffle width. Avoids the silent shape-mismatch
+    class of bug where CLI flags must be repeated to match a checkpoint.
+    """
+    p = variables["params"] if "params" in variables else variables
+    num_feat = int(p["conv_0"]["Conv_0"]["kernel"].shape[-1])
+    body = [k for k in p if k.startswith("conv_") and k != "conv_last"]
+    num_conv = len(body) - 1
+    cff = int(p["conv_last"]["Conv_0"]["kernel"].shape[-1])
+    upscale = int(round((cff // num_out_ch) ** 0.5))
+    if num_out_ch * upscale * upscale != cff:
+        raise ValueError(
+            f"conv_last emits {cff} channels — not num_out_ch="
+            f"{num_out_ch} x square upscale^2; not an SRVGG student tree")
+    return SRVGGNetCompact(num_out_ch=num_out_ch, num_feat=num_feat,
+                           num_conv=num_conv, upscale=upscale,
+                           policy=policy)
+
+
+class SRVGGStudentSeat:
+    """Swap-pipeline SR-seat adapter serving a distilled SRVGG student.
+
+    The SwapPipeline SR seat contract (pipeline/swap.py `sr_lane`) is
+    [-1,1] in -> [-1,1] out at the swapped-crop resolution. The
+    distilled student (`cli/distill_enhancer`, DISTILL_VALUE_r04.json)
+    is an x`upscale` super-resolver in [0,1], so the seat area-
+    downscales the crop by the student's factor, super-resolves back to
+    native resolution, and clips: the quality pass runs at 1/upscale^2
+    of the crop's pixel count. Measured through the production program
+    at T=2 identities this serves 97.3 fps all-lanes-present vs the
+    LIPSPADE seat's roofline-walled 65.3 (BENCH_EXTRA_r04.json) — the
+    quality path that can reach the >=120 north star. Reference
+    counterpart of the seat it replaces: reference inference.py:42-48
+    (`--use_sr` face enhancement on every swapped crop).
+    """
+
+    def __init__(self, student: SRVGGNetCompact):
+        self.student = student
+
+    def apply(self, variables, y_pm1):
+        h, w = int(y_pm1.shape[1]), int(y_pm1.shape[2])
+        f = int(self.student.upscale)
+        if h % f or w % f:
+            raise ValueError(
+                f"crop {h}x{w} not divisible by the student's "
+                f"upscale={f}; pick a crop size that is")
+        y01 = y_pm1 * 0.5 + 0.5
+        lq = resize(y01, (h // f, w // f), method="area")
+        out = self.student.apply(variables, lq)
+        return jnp.clip(out, 0.0, 1.0) * 2.0 - 1.0

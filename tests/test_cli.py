@@ -23,6 +23,9 @@ def test_inference_parser_reference_flags():
     assert args.similarity_th == 0.2
     assert args.backbone == "linknet"
     assert args.crop_size == 224  # reference default
+    assert args.sr_model == "lipspade"  # reference-parity default seat
+    assert p.parse_args(["--sr_model", "srvgg_student"]
+                        ).sr_model == "srvgg_student"
 
 
 def test_train_parser_reference_flags():

@@ -38,6 +38,76 @@ def test_multi_identity_sr_video(sr_pipe, rng):
     assert out.dtype == np.uint8
 
 
+def test_srvgg_student_seat_contract(rng):
+    """The distilled-student SR seat (models/sr/srvgg.SRVGGStudentSeat,
+    the cli --sr_model srvgg_student serving path): hyperparams are
+    inferred back off the checkpoint tree, the seat maps [-1,1] crops
+    to [-1,1] at the SAME resolution via downscale->student->clip, and
+    a crop size not divisible by the student's factor raises."""
+    from ghost_tpu.models.sr.srvgg import (SRVGGNetCompact,
+                                           SRVGGStudentSeat,
+                                           srvgg_from_variables)
+    from ghost_tpu.nn.layers import resize
+
+    student = SRVGGNetCompact(num_feat=8, num_conv=2, upscale=2,
+                              policy=FULL_PRECISION)
+    s_vars = student.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)))
+
+    # checkpoint-shape inference round-trips the hyperparameters
+    rebuilt = srvgg_from_variables(s_vars, policy=FULL_PRECISION)
+    assert (rebuilt.num_feat, rebuilt.num_conv, rebuilt.upscale) == (8, 2, 2)
+
+    seat = SRVGGStudentSeat(student)
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 16, 16, 3)), jnp.float32)
+    y = seat.apply(s_vars, x)
+    assert y.shape == x.shape
+    assert float(jnp.min(y)) >= -1.0 and float(jnp.max(y)) <= 1.0
+
+    # the seat IS the documented composition
+    ref = jnp.clip(student.apply(
+        s_vars, resize(x * 0.5 + 0.5, (8, 8), method="area")),
+        0.0, 1.0) * 2.0 - 1.0
+    assert float(jnp.max(jnp.abs(y - ref))) == 0.0
+
+    with pytest.raises(ValueError):
+        seat.apply(s_vars, jnp.zeros((1, 15, 15, 3)))
+
+    # a non-student tree is rejected, not mis-inferred
+    with pytest.raises((ValueError, KeyError)):
+        srvgg_from_variables({"params": {"conv_0": s_vars["params"]["conv_0"],
+                                         "conv_last": {"Conv_0": {
+                                             "kernel": jnp.zeros((3, 3, 8, 7))
+                                         }}}})
+
+
+def test_multi_identity_srvgg_student_video(rng):
+    """End-to-end video swap with the student seat mounted as the SR
+    pair — the config-4 serving alternative runs through the production
+    pipeline (BENCH_EXTRA_r04 measured this construct at full width)."""
+    from ghost_tpu.models.sr.srvgg import SRVGGNetCompact, SRVGGStudentSeat
+
+    cfg = SwapConfig(det_size=320, chunk_size=2, max_faces=4, use_sr=True)
+    base = build_random_pipeline(cfg, policy=FULL_PRECISION,
+                                 arcface_layers=(1, 1, 1, 1))
+    student = SRVGGNetCompact(num_feat=8, num_conv=2, upscale=2,
+                              policy=FULL_PRECISION)
+    s_vars = student.init(jax.random.key(1), jnp.zeros((1, 128, 128, 3)))
+    pipe = SwapPipeline(
+        (base.det_mod, base.det_vars),
+        (base.arc_mod, base.arc_vars),
+        (base.gen_mod, base.gen_vars),
+        (base.lmk_mod, base.lmk_vars),
+        sr=(SRVGGStudentSeat(student), s_vars),
+        config=cfg,
+    )
+    frames = rng.integers(0, 255, (2, 256, 320, 3), dtype=np.uint8)
+    sources = rng.integers(0, 255, (2, 224, 224, 3), dtype=np.uint8)
+    targets = rng.integers(0, 255, (2, 224, 224, 3), dtype=np.uint8)
+    out = pipe.swap_video_frames(frames, sources, targets)
+    assert out.shape == frames.shape
+    assert out.dtype == np.uint8
+
+
 class _IdentitySR:
     """SR seat returning its [-1,1] input unchanged."""
 
