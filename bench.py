@@ -8,18 +8,27 @@ AEI-Net unet/2-blocks, 106-pt landmarker) in bf16 on the default
 backend (the real TPU chip under the driver). Per-shot mask parameters
 ride as a traced array exactly like the production steady state (the
 probe that selects them is a one-time cost per video). Weights are
-random — throughput is weight-independent.
+random — throughput is weight-independent — and because the production
+default is now lane_skip=True (absent target lanes are cond-skipped,
+reference utils/inference/core.py:72-74 parity), the bench FORCES every
+lane present via similarity_th=-2.0 so it measures the full swap work,
+never the skip path (random-weight similarities ~|0.04| would never
+clear the 0.15 default). All-present lane-skip output is bit-identical
+to the batched form (tests/test_pipeline_lane_skip.py).
 
 DELIVERABILITY (round-2 lesson: BENCH_r02 was rc=124 with no output
-because the run died inside a cold ~40-75 min relay compile): the bench
-is TIERED. Tier A measures the fused chunk-32 program (small compile,
-cache-warmed during the round) and prints a complete JSON result line
-IMMEDIATELY, flushed. Tier B upgrades to the fused chunk-128/group-32
-program (the fastest known config) and prints an updated line with the
-best fps. A driver timeout can therefore only cost the *upgrade*, never
-the artifact. Both programs are persisted in the compile cache
-(/tmp/ghost_tpu_jax_cache) — with a warm cache the whole bench is a few
-minutes of execution, no compilation.
+because the run died inside a cold ~40-75 min relay compile; BENCH_r04
+was rc=124 with no diagnosis): the bench is TIERED and HEARTBEATED.
+ - tier 0: fused chunk-8 program — the smallest full-production
+   program; prints a complete JSON line FIRST.
+ - tier A: fused chunk-32 — the round's cache-warmed workhorse.
+ - tier B: fused chunk-128/group-32 — the fastest known config.
+Each tier prints a complete JSON result line immediately, flushed, so a
+driver timeout can only cost an *upgrade*, never the artifact. A
+background thread heartbeats phase + elapsed to stderr every 60 s so
+even an rc=124 leaves a diagnosis. All programs are persisted in the
+compile cache (/tmp/ghost_tpu_jax_cache) — with a warm cache the whole
+bench is a few minutes of execution, no compilation.
 
 Baseline: the reference publishes no numbers (BASELINE.md); the
 BASELINE.json north star is >=120 fps/chip on v5e, so
@@ -33,13 +42,28 @@ from __future__ import annotations
 
 import json
 import sys
+import threading
 import time
 
 import numpy as np
 
+_T0 = time.time()
+_PHASE = ["startup"]
+
 
 def _log(msg):
-    print(msg, file=sys.stderr, flush=True)
+    print(f"[{time.time() - _T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+def _set_phase(p):
+    _PHASE[0] = p
+    _log(f"phase: {p}")
+
+
+def _heartbeat():
+    while True:
+        time.sleep(60)
+        _log(f"heartbeat: phase={_PHASE[0]}")
 
 
 def measure_fused(chunk: int, group: int, iters: int = 4) -> float:
@@ -51,8 +75,10 @@ def measure_fused(chunk: int, group: int, iters: int = 4) -> float:
     from ghost_tpu.core.precision import DEFAULT_POLICY
     from ghost_tpu.pipeline.swap import SwapConfig, build_random_pipeline
 
+    _set_phase(f"build chunk={chunk}/group={group}")
     cfg = SwapConfig(chunk_size=chunk, max_faces=4, crop_size=224,
-                     match_faces=2, fused_group=group)
+                     match_faces=2, fused_group=group,
+                     similarity_th=-2.0)  # force all lanes present
     pipe = build_random_pipeline(
         cfg, policy=DEFAULT_POLICY, arcface_layers=(3, 13, 30, 3)
     )
@@ -76,6 +102,7 @@ def measure_fused(chunk: int, group: int, iters: int = 4) -> float:
     # device execution finishes on this remote-attached platform, so a
     # block_until_ready-based number would not be trustworthy
     # (VERDICT r3 weak #7)
+    _set_phase(f"compile+first-dispatch chunk={chunk}/group={group}")
     t0 = time.time()
     out = pipe._detect_swap(frames_d, tgt_emb, src_emb, mask_params)
     _ = float(checksum_fn(out))
@@ -86,7 +113,7 @@ def measure_fused(chunk: int, group: int, iters: int = 4) -> float:
     # output is the next chunk's input) so every step depends on real
     # prior results — nothing can be constant-folded, cached, or
     # overlapped away.
-
+    _set_phase(f"timing chunk={chunk}/group={group} x{iters}")
     cur = frames_d
     t0 = time.time()
     for _ in range(iters):
@@ -111,13 +138,26 @@ def emit(fps: float):
 def main():
     import jax
 
+    threading.Thread(target=_heartbeat, daemon=True).start()
+
     # persistent compile cache: tunnel compiles of the pipeline are
     # expensive; cache them across bench invocations
     jax.config.update("jax_compilation_cache_dir", "/tmp/ghost_tpu_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
     best = 0.0
-    # Tier A: fused chunk-32 — small program, guaranteed-warm artifact.
+    # Tier 0: fused chunk-8 — the smallest full-production program, so
+    # a JSON artifact exists as early as possible (dispatch-floor bound:
+    # ~28 ms/program over the relay caps it well below the chunk-128
+    # number; it is a floor, not the headline).
+    try:
+        fps = measure_fused(chunk=8, group=0, iters=8)
+        best = max(best, fps)
+        emit(best)
+    except Exception as e:  # pragma: no cover - defensive
+        _log(f"tier 0 failed: {e!r}")
+
+    # Tier A: fused chunk-32 — small program, cache-warmed workhorse.
     # 8 iters so the measured window (~256 frames) is long enough that
     # the one-off dispatch jitter stays in the noise.
     try:
@@ -133,10 +173,10 @@ def main():
     try:
         fps = measure_fused(chunk=128, group=32, iters=4)
         best = max(best, fps)
+        emit(best)
     except Exception as e:  # pragma: no cover - defensive
         _log(f"tier B failed: {e!r}")
-    if best > 0.0:
-        emit(best)
+    _set_phase("done")
 
 
 if __name__ == "__main__":

@@ -92,10 +92,17 @@ def srvgg_from_variables(variables, policy: Policy = DEFAULT_POLICY,
     class of bug where CLI flags must be repeated to match a checkpoint.
     """
     p = variables["params"] if "params" in variables else variables
-    num_feat = int(p["conv_0"]["Conv_0"]["kernel"].shape[-1])
-    body = [k for k in p if k.startswith("conv_") and k != "conv_last"]
-    num_conv = len(body) - 1
-    cff = int(p["conv_last"]["Conv_0"]["kernel"].shape[-1])
+    try:
+        num_feat = int(p["conv_0"]["Conv_0"]["kernel"].shape[-1])
+        body = [k for k in p if k.startswith("conv_") and k != "conv_last"]
+        num_conv = len(body) - 1
+        cff = int(p["conv_last"]["Conv_0"]["kernel"].shape[-1])
+    except (KeyError, TypeError) as e:
+        raise ValueError(
+            "checkpoint is not an SRVGG student tree (missing "
+            f"{e!s} — likely a wrong --sr_model/--sr_path pairing, "
+            "e.g. a LIPSPADE checkpoint passed with srvgg_student)"
+        ) from e
     upscale = int(round((cff // num_out_ch) ** 0.5))
     if num_out_ch * upscale * upscale != cff:
         raise ValueError(
@@ -131,8 +138,10 @@ class SRVGGStudentSeat:
         f = int(self.student.upscale)
         if h % f or w % f:
             raise ValueError(
-                f"crop {h}x{w} not divisible by the student's "
-                f"upscale={f}; pick a crop size that is")
+                f"generator/SR resolution {h}x{w} not divisible by the "
+                f"student's upscale={f}; the seat runs on the generator "
+                "output (SwapConfig.gen_size, 256 by default), so train "
+                "a student whose upscale divides it")
         y01 = y_pm1 * 0.5 + 0.5
         lq = resize(y01, (h // f, w // f), method="area")
         out = self.student.apply(variables, lq)

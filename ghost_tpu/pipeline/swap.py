@@ -107,6 +107,15 @@ class SwapConfig:
     # (covers the detector too, so chunk 128 stays within the chunk-32
     # stage-A HBM peak); 0 disables grouping
     fused_group: int = 32
+    # per-TARGET-lane skip in stage B: wrap each lane's crop -> AEI ->
+    # (SR) -> landmark -> mask -> paste-back in a scalar lax.cond on
+    # "any frame in this micro-batch group has the lane present". The
+    # reference swaps ONLY detected identities (reference
+    # utils/inference/core.py:72-74): a T=2 video whose second identity
+    # never appears pays ~1 generator pass there; the batched form
+    # (False) pays T. All-present groups execute the same per-sample
+    # math as the batched form (bit-match: tests/test_pipeline_lane_skip.py)
+    lane_skip: bool = True
 
 
 class SwapPipeline:
@@ -318,6 +327,143 @@ class SwapPipeline:
                    mask_params, probe=False):
         """Per-frame stage-B body over one micro-batch: frames
         (B,H,W,3) u8, m (B,T,2,3), present (B,T)."""
+        if self.cfg.lane_skip:
+            return self._swap_body_lanes(variables, frames_u8, m, present,
+                                         source_embeds, mask_params, probe)
+        return self._swap_body_batched(variables, frames_u8, m, present,
+                                       source_embeds, mask_params, probe)
+
+    def _swap_body_lanes(self, variables, frames_u8, m, present,
+                         source_embeds, mask_params, probe=False):
+        """Per-target-lane stage-B body with whole-group absence skip.
+
+        Reference parity: the reference's swap loop runs only over
+        DETECTED identities (reference utils/inference/core.py:72-74 —
+        `for i in range(len(crop_frames_list))` over faces that matched)
+        so absent identities cost nothing. The lane structure here
+        restores that: each lane's crop extraction, AEI forward,
+        optional SR, landmark, mask and paste-back sit inside a scalar
+        `lax.cond` on `jnp.any(present[:, j])` (the enhancer's one_lane
+        pattern, pipeline/enhance.py). Lane granularity is the
+        micro-batch group, so a target absent for a whole chunk costs T
+        conds; all-present groups run the identical per-sample math as
+        `_swap_body_batched` (bit-match tested)."""
+        cfg = self.cfg
+        b, t = m.shape[:2]
+        cs = cfg.crop_size
+        need_offsets = probe or isinstance(mask_params, str)
+        lmk_apply = lambda v, imgs: self.lmk_mod.apply(v, imgs)
+
+        def lane(j):
+            m_j = m[:, j]  # (B,2,3)
+
+            def run(_):
+                if cfg.crop_mode == "similarity":
+                    crops = warp_affine_similarity(
+                        frames_u8, m_j[:, None], cs,
+                        subpix=cfg.crop_subpix, interp=cfg.crop_interp)
+                else:
+                    crops = warp_affine(frames_u8.astype(jnp.float32),
+                                        m_j, (cs, cs))
+                gen_in = resize(crops / 255.0, (cfg.gen_size, cfg.gen_size),
+                                method="bilinear")
+                gen_in = (gen_in - 0.5) / 0.5
+                src = jnp.tile(source_embeds[j][None], (b, 1))
+                y, _ = self.gen_mod.apply(variables["gen"], gen_in, src)
+                y = (y * 0.5 + 0.5) * 255.0
+                if self.sr is not None:
+                    # the lane cond subsumes the separate SR cond the
+                    # batched body needs
+                    sr_mod, _ = self.sr
+                    r = sr_mod.apply(variables["sr"],
+                                     (y / 255.0 - 0.5) / 0.5)
+                    y = ((r * 0.5 + 0.5) * 255.0).astype(jnp.float32)
+                swap224 = resize(y, (cs, cs), method="bilinear")
+
+                offs_j = jnp.zeros((b,), jnp.float32)
+                if mask_params is None:
+                    lmks = landmarks_from_crops(lmk_apply, variables["lmk"],
+                                                swap224, cs)
+                    mask = face_mask_batch(lmks, cs, cfg.mask_params)
+                else:
+                    from ghost_tpu.ops.mask import (
+                        mask_offset_from_landmarks, soft_face_mask_dynamic)
+
+                    if need_offsets:
+                        both = jnp.concatenate(
+                            [swap224, crops.astype(swap224.dtype)], axis=0)
+                        lm_both = landmarks_from_crops(
+                            lmk_apply, variables["lmk"], both, cs)
+                        lmks, lmks_tgt = lm_both[:b], lm_both[b:]
+                        offs_j = jax.vmap(mask_offset_from_landmarks)(
+                            lmks, lmks_tgt)
+                    else:
+                        lmks = landmarks_from_crops(
+                            lmk_apply, variables["lmk"], swap224, cs)
+                    if isinstance(mask_params, str):  # "auto"
+                        def sel(o):
+                            return jnp.where(
+                                o > 6,
+                                jnp.asarray((15.0, 15.0, 10.0, 2.7)),
+                                jnp.where(
+                                    o > 3,
+                                    jnp.asarray((10.0, 10.0, 8.0, 2.0)),
+                                    jnp.where(
+                                        o < -3,
+                                        jnp.asarray((-5.0, 5.0, 10.0, 0.5)),
+                                        jnp.asarray((5.0, 5.0, 5.0, 2.0)))))
+
+                        params_b = jax.vmap(sel)(offs_j)
+                    else:
+                        params_b = jnp.tile(
+                            jnp.asarray(mask_params, jnp.float32)[j][None],
+                            (b, 1))
+                    mask = jax.vmap(
+                        lambda lm, p: soft_face_mask_dynamic(
+                            lm, cs, p[0], p[1], p[2], p[3])
+                    )(lmks, params_b)[..., None]
+                return swap224, mask, offs_j
+
+            aval = jax.eval_shape(run, 0)
+            return jax.lax.cond(
+                jnp.any(present[:, j]), run,
+                lambda _: jax.tree.map(
+                    lambda a: jnp.zeros(a.shape, a.dtype), aval), 0)
+
+        lanes = [lane(j) for j in range(t)]
+
+        # sequential per-target paste-back, each lane's blend behind the
+        # same group-presence cond (blend into an untouched frame is a
+        # masked no-op anyway — present=False keeps the frame — so
+        # skipping changes nothing; tested)
+        blend_dtype = (jnp.bfloat16 if cfg.pasteback == "similarity"
+                       else jnp.float32)
+        out = frames_u8.astype(blend_dtype)  # exact: u8 fits bf16
+        for j in range(t):
+            swap_j, mask_j, _ = lanes[j]
+
+            def blend(o, j=j, swap_j=swap_j, mask_j=mask_j):
+                if cfg.pasteback == "similarity":
+                    r = warp_and_blend_similarity(
+                        o, swap_j, mask_j, m[:, j], present=present[:, j],
+                        rot_subpix=cfg.blend_rot_subpix)
+                else:
+                    r = warp_and_blend(o, swap_j, mask_j, m[:, j],
+                                       present=present[:, j])
+                return r.astype(blend_dtype)
+
+            out = jax.lax.cond(jnp.any(present[:, j]), blend,
+                               lambda o: o, out)
+        out = jnp.clip(out, 0, 255).astype(jnp.uint8)
+        if need_offsets and mask_params is not None:
+            return out, jnp.stack([ln[2] for ln in lanes], axis=1)
+        return out
+
+    def _swap_body_batched(self, variables, frames_u8, m, present,
+                           source_embeds, mask_params, probe=False):
+        """All-lanes-batched stage-B body (lane_skip=False): frames
+        (B,H,W,3) u8, m (B,T,2,3), present (B,T). Kept as the bit-match
+        reference for the lane-skip body and for A/B measurement."""
         cfg = self.cfg
         b, t = m.shape[:2]
         cs = cfg.crop_size
