@@ -66,6 +66,9 @@ def _heartbeat():
         _log(f"heartbeat: phase={_PHASE[0]}")
 
 
+_MODELS = []  # build the 4 models once; tiers differ only in config
+
+
 def measure_fused(chunk: int, group: int, iters: int = 4) -> float:
     """Build a random-weights pipeline and time the fused steady-state
     program at the given chunk/micro-batch-group size. Returns fps."""
@@ -73,15 +76,23 @@ def measure_fused(chunk: int, group: int, iters: int = 4) -> float:
     import jax.numpy as jnp
 
     from ghost_tpu.core.precision import DEFAULT_POLICY
-    from ghost_tpu.pipeline.swap import SwapConfig, build_random_pipeline
+    from ghost_tpu.pipeline.swap import (SwapConfig, SwapPipeline,
+                                         build_random_pipeline)
 
     _set_phase(f"build chunk={chunk}/group={group}")
     cfg = SwapConfig(chunk_size=chunk, max_faces=4, crop_size=224,
                      match_faces=2, fused_group=group,
                      similarity_th=-2.0)  # force all lanes present
-    pipe = build_random_pipeline(
-        cfg, policy=DEFAULT_POLICY, arcface_layers=(3, 13, 30, 3)
-    )
+    if not _MODELS:
+        # model init is eager op-by-op execution — minutes over the
+        # relay's ~25 ms dispatch floor; pay it once, not per tier
+        base = build_random_pipeline(
+            cfg, policy=DEFAULT_POLICY, arcface_layers=(3, 13, 30, 3))
+        _MODELS.append([(base.det_mod, base.det_vars),
+                        (base.arc_mod, base.arc_vars),
+                        (base.gen_mod, base.gen_vars),
+                        (base.lmk_mod, base.lmk_vars)])
+    pipe = SwapPipeline(*_MODELS[0], config=cfg)
 
     rng = np.random.default_rng(0)
     frames = rng.integers(0, 255, (chunk, 1080, 1920, 3), dtype=np.uint8)

@@ -120,6 +120,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--d_interval", default=10, type=int)
     p.add_argument("--num_workers", default=8, type=int)
     p.add_argument("--max_steps", default=None, type=int)
+    p.add_argument("--max_steps_per_process", default=0, type=int,
+                   help="split training into successive child processes "
+                        "of at most N steps each, exact-resuming from "
+                        "the run checkpoint between them (params + "
+                        "optimizer moments + loss scale + iteration). "
+                        "Mitigates unbounded per-process host-RAM "
+                        "growth, e.g. the dev relay client's ~17 MB "
+                        "leak per dispatched step; the reference's "
+                        "snapshots (reference train.py:449-456) cannot "
+                        "do this losslessly — they drop optimizer "
+                        "state. 0 = off")
     p.add_argument("--bf16", default=True, type=str2bool)
     p.add_argument("--resume", default=True, type=str2bool,
                    help="auto-resume from the run_name checkpoint dir "
@@ -135,11 +146,66 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+# child exit status meaning "slice complete, more steps remain" —
+# distinct from success (0) and from real failures
+_SLICE_RC = 3
+
+
+def _supervise(argv):
+    """--max_steps_per_process driver: run training as a chain of child
+    processes, each bounded to N steps and exact-resuming from the run
+    checkpoint (train/loop.py save_on_stop + the --resume path). One
+    CLI invocation therefore survives step counts whose per-process
+    host-RAM growth would OOM a single process (the dev TPU relay
+    client leaks ~17 MB/step; a 7000-step run was OOM-killed at 122 GB
+    in one process)."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ, GHOST_TPU_TRAIN_WORKER="1")
+    # propagate the parent's jax platform to workers: a test/driver that
+    # forced CPU via jax.config (the only way that works under the
+    # force-registered TPU relay plugin — JAX_PLATFORMS env is ignored
+    # there) must not spawn children that silently grab the TPU
+    if "jax" in sys.modules:
+        env["GHOST_TPU_PLATFORM"] = sys.modules["jax"].default_backend()
+    cmd = [sys.executable, "-m", "ghost_tpu.cli.train"] + list(argv)
+    n = 0
+    while True:
+        n += 1
+        print(f"train supervisor: starting worker process #{n}",
+              flush=True)
+        rc = subprocess.call(cmd, env=env)
+        if rc != _SLICE_RC:
+            if rc != 0:
+                sys.exit(rc)
+            print(f"train supervisor: done after {n} worker processes",
+                  flush=True)
+            return
+
+
 def main(argv=None):
+    import os
+    import sys
+
     from ghost_tpu.utils.jax_cache import enable_persistent_cache
 
     enable_persistent_cache()
+    if os.environ.get("GHOST_TPU_PLATFORM"):
+        import jax
+
+        jax.config.update("jax_platforms",
+                          os.environ["GHOST_TPU_PLATFORM"])
     args = build_parser().parse_args(argv)
+    if args.max_steps_per_process and args.max_steps is None:
+        # each worker process restarts its epoch iterator, so an
+        # epoch-bound total would never terminate across slices
+        raise SystemExit(
+            "--max_steps_per_process requires --max_steps (the total)")
+    if (args.max_steps_per_process
+            and os.environ.get("GHOST_TPU_TRAIN_WORKER") != "1"):
+        return _supervise(sys.argv[1:] if argv is None else list(argv))
 
     import jax
     import jax.numpy as jnp
@@ -332,22 +398,39 @@ def main(argv=None):
             print(f"WARNING: --resume 0 with existing checkpoints at "
                   f"step {ckpt.latest_step()}; starting fresh — saves "
                   f"at already-written steps will be skipped")
+    # --max_steps_per_process worker: bound this process's slice and
+    # save a resume checkpoint at the cap (see _supervise)
+    slice_cap = None
+    eff_max_steps = args.max_steps
+    if args.max_steps_per_process:
+        slice_cap = start_iteration + args.max_steps_per_process
+        eff_max_steps = (slice_cap if args.max_steps is None
+                         else min(args.max_steps, slice_cap))
     loop_cfg = LoopConfig(
         max_epochs=args.max_epochs, d_interval=args.d_interval,
         show_step=args.show_step, save_interval=args.save_interval,
         run_name=args.run_name, distill=(mode != "canonical"),
         output_dir=args.output_dir,
         print_interval=1 if args.verbose_output else 10,
+        save_on_stop=slice_cap is not None,
     )
     from ghost_tpu.train.preempt import PreemptionGuard
 
     with PreemptionGuard() as guard:
         state, metrics = train_loop(state, g_step, d_step, batch_iter,
                                     loop_cfg, checkpoint_manager=ckpt,
-                                    max_steps=args.max_steps,
+                                    max_steps=eff_max_steps,
                                     preemption=guard,
                                     start_iteration=start_iteration)
     print("final:", metrics)
+    if slice_cap is not None and not (guard.triggered if guard else False):
+        end = ckpt.latest_step()
+        # more work remains iff the slice ran to its cap and the cap is
+        # below the requested total (epoch-bound runs that stopped
+        # early — exhausted data / max_epochs — exit 0)
+        if end is not None and end + 1 >= slice_cap and (
+                args.max_steps is None or end + 1 < args.max_steps):
+            sys.exit(_SLICE_RC)
 
 
 if __name__ == "__main__":

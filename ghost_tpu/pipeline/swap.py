@@ -169,13 +169,19 @@ class SwapPipeline:
                                   source_embeds, mask_params, probe)
 
     def _detect_swap(self, frames_u8, target_embeds, source_embeds,
-                     mask_params=None, match_targets=True):
+                     mask_params=None, match_targets=True,
+                     present_override=None):
         """Fused single-program detect->match->swap->blend for one chunk
         (the steady-state no-smoothing video path: one dispatch instead
-        of two, ~26 ms/chunk of relay dispatch floor saved)."""
+        of two, ~26 ms/chunk of relay dispatch floor saved).
+
+        present_override: optional (B,T) bool replacing the
+        similarity-threshold presence — measurement hook for pinning
+        lane occupancy (e.g. the 1-of-2-present lane-skip benchmark);
+        None (production) leaves the trace unchanged."""
         return self._detect_swap_j(self._vars, frames_u8, target_embeds,
                                    source_embeds, mask_params,
-                                   match_targets)
+                                   match_targets, present_override)
 
     def _embed(self, crops_rgb_u8):
         return self._embed_j(self._vars, crops_rgb_u8)
@@ -618,7 +624,7 @@ class SwapPipeline:
 
     def _detect_swap_impl(self, variables, frames_u8, target_embeds,
                           source_embeds, mask_params,
-                          match_targets: bool):
+                          match_targets: bool, present_override=None):
         """Fused steady-state video chunk: detect -> match -> swap ->
         blend in ONE program. Semantics identical to stage A + stage B
         with smooth=False and cached per-shot mask params; the whole
@@ -630,7 +636,7 @@ class SwapPipeline:
         gs = cfg.fused_group
         g = b // gs if (gs > 0 and b % gs == 0 and b > gs) else 1
 
-        def body(fr):
+        def body(fr, pov=None):
             kps, sim, scores, raw_kps = self._detect_match_impl(
                 variables, fr, target_embeds)
             if match_targets:
@@ -638,14 +644,21 @@ class SwapPipeline:
             else:
                 kps = raw_kps[:, :t]
                 present = scores[:, :t] > 0.0
+            if pov is not None:
+                present = pov
             return self._swap_blend_impl(variables, fr, kps, present,
                                          source_embeds, mask_params,
                                          groups=1)
 
         if g == 1:
-            return body(frames_u8)
-        res = jax.lax.map(body, frames_u8.reshape(g, gs,
-                                                  *frames_u8.shape[1:]))
+            return body(frames_u8, present_override)
+        fr_g = frames_u8.reshape(g, gs, *frames_u8.shape[1:])
+        if present_override is None:
+            res = jax.lax.map(body, fr_g)
+        else:
+            res = jax.lax.map(
+                lambda a: body(a[0], a[1]),
+                (fr_g, present_override.reshape(g, gs, t)))
         return jax.tree.map(
             lambda x: x.reshape((x.shape[0] * x.shape[1],) + x.shape[2:]),
             res)
@@ -966,17 +979,24 @@ def build_random_pipeline(config: SwapConfig = SwapConfig(),
     """Random-init pipeline for tests and throughput benchmarks (weights
     affect quality only, not the compute graph)."""
     key = jax.random.key(seed)
+    # jitted inits: eager init dispatches thousands of tiny ops — over
+    # a remote-attached TPU that is minutes of ~25 ms dispatch floors
+    # per model; one jitted (and persistently cached) program each
+    # makes pipeline builds seconds instead (bench deliverability,
+    # VERDICT r4 item 1)
     det = SCRFD(policy=policy)
-    det_vars = det.init(key, jnp.zeros((1, config.det_size, config.det_size, 3)))
+    det_vars = jax.jit(det.init)(
+        key, jnp.zeros((1, config.det_size, config.det_size, 3)))
     arc = IResNet(layers=arcface_layers, policy=policy)
-    arc_vars = arc.init(key, jnp.zeros((1, 112, 112, 3)))
+    arc_vars = jax.jit(arc.init)(key, jnp.zeros((1, 112, 112, 3)))
     # Pallas fused AAD modulate on the C>=128 generator blocks (TPU
     # only — the kernel is serving-path; CPU tests keep the jnp chain)
     gen = AEINet(backbone=backbone, num_blocks=2, policy=policy,
                  fused_aad=jax.default_backend() == "tpu")
-    gen_vars = gen.init(key, jnp.zeros((1, config.gen_size, config.gen_size, 3)),
-                        jnp.zeros((1, 512)))
+    gen_vars = jax.jit(gen.init)(
+        key, jnp.zeros((1, config.gen_size, config.gen_size, 3)),
+        jnp.zeros((1, 512)))
     lmk = Landmark106(policy=policy)
-    lmk_vars = lmk.init(key, jnp.zeros((1, 192, 192, 3)))
+    lmk_vars = jax.jit(lmk.init)(key, jnp.zeros((1, 192, 192, 3)))
     return SwapPipeline((det, det_vars), (arc, arc_vars), (gen, gen_vars),
                         (lmk, lmk_vars), config=config)

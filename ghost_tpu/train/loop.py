@@ -39,6 +39,12 @@ class LoopConfig:
     run_name: str = "ghost"
     distill: bool = False
     ratchets: bool = True
+    # save a force-checkpoint when stopping at max_steps (the cap exit
+    # otherwise only persists state if the step landed on
+    # save_interval) — load-bearing for cli/train's
+    # --max_steps_per_process process-slicing, whose next worker
+    # exact-resumes from this save
+    save_on_stop: bool = False
 
 
 def _image_grid(arrays, path):
@@ -168,6 +174,12 @@ def train_loop(
 
             iteration += 1
             if max_steps is not None and iteration >= max_steps:
+                if cfg.save_on_stop and checkpoint_manager is not None:
+                    # force: an exact-resumed slice may stop at a step
+                    # for which the directory already holds a stale
+                    # snapshot (see the preemption save above)
+                    checkpoint_manager.save(iteration - 1, state,
+                                            force=True)
                 return state, last_metrics
         if epoch_batches == 0:
             # exhausted one-shot iterator (or empty dataset): stop

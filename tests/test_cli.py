@@ -87,6 +87,60 @@ def test_train_cli_one_step(tmp_path):
     ])
 
 
+def test_train_cli_max_steps_per_process(tmp_path, capsys):
+    """--max_steps_per_process auto-split: ONE CLI invocation runs a
+    total step count larger than any single process's budget by
+    chaining exact-resumed worker subprocesses (mitigates unbounded
+    per-process RAM growth such as the dev relay client's per-step
+    leak). The reference's snapshots (reference train.py:449-456) are
+    the lossy version of this resume — they drop optimizer state."""
+    import cv2
+
+    d = tmp_path / "faces"
+    d.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        cv2.imwrite(str(d / f"{i}.jpg"),
+                    rng.integers(0, 255, (64, 64, 3), dtype=np.uint8))
+
+    from ghost_tpu.cli.train import main
+
+    main([
+        "--dataset_path", str(d),
+        "--batch_size", "2",
+        "--max_steps", "4",
+        "--max_steps_per_process", "2",
+        "--width", "0.0625",
+        "--arcface_depth", "tiny",
+        "--bf16", "",
+        "--num_blocks", "1",
+        "--num_workers", "1",
+        "--run_name", str(tmp_path / "run"),
+        "--save_interval", "100000",
+        "--show_step", "100000",
+        "--output_dir", str(tmp_path / "out"),
+    ])
+    out = capsys.readouterr().out
+    # the 4 steps were split 2+2 across exactly two worker processes
+    assert "worker process #2" in out
+    assert "worker process #3" not in out
+    assert "done after 2 worker processes" in out
+
+    # the chain completed the full step count (steps 0..3; each slice's
+    # cap checkpoint is what the next worker resumed from)
+    from ghost_tpu.core.checkpoint import CheckpointManager
+
+    assert CheckpointManager(str(tmp_path / "run")).latest_step() == 3
+
+
+def test_train_cli_slice_requires_total():
+    from ghost_tpu.cli.train import main
+
+    with pytest.raises(SystemExit, match="max_steps"):
+        main(["--dataset_path", "/nonexistent",
+              "--max_steps_per_process", "2"])
+
+
 def test_inference_cli_smoke(tmp_path):
     """Full inference CLI on synthetic media with random tiny weights."""
     import cv2

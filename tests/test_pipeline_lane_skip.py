@@ -112,6 +112,34 @@ def test_lane_skip_with_sr_bitmatch(rng):
     np.testing.assert_array_equal(out2, out1)
 
 
+def test_present_override_fused(rng):
+    """The fused program's present_override measurement hook
+    (scripts/bench_extra_r05.py): overriding every lane present must
+    equal the similarity_th=-2 forced-all-present trace, and an
+    all-False override must leave the frames untouched. Exercises the
+    grouped (lax.map) path: chunk 4, fused_group 2."""
+    import jax.numpy as jnp
+
+    cfg_kw = dict(fused_group=2)  # chunk is 4 in _mk_pipes → 2 groups
+    pipe_th, _ = _mk_pipes(similarity_th=-2.0, **cfg_kw)
+    pipe_d, _ = _mk_pipes(**cfg_kw)  # default th (noise never clears it)
+    frames = jnp.asarray(
+        rng.integers(0, 255, (4, 256, 320, 3), dtype=np.uint8))
+    src = jnp.asarray(rng.normal(0, 1, (2, 512)).astype(np.float32))
+    tgt = src / jnp.linalg.norm(src, axis=-1, keepdims=True)
+    mp = jnp.asarray([[5.0, 5.0, 5.0, 2.0]] * 2, jnp.float32)
+
+    ref = np.asarray(pipe_th._detect_swap(frames, tgt, src, mp, True))
+    ov = jnp.ones((4, 2), bool)
+    out = np.asarray(pipe_d._detect_swap(frames, tgt, src, mp, True, ov))
+    np.testing.assert_array_equal(out, ref)
+
+    none_ov = jnp.zeros((4, 2), bool)
+    out0 = np.asarray(pipe_d._detect_swap(frames, tgt, src, mp, True,
+                                          none_ov))
+    np.testing.assert_array_equal(out0, np.asarray(frames))
+
+
 def test_lane_skip_fused_video_end_to_end(rng):
     """The fused no-smooth video path (the bench program) with
     lane_skip on: runs, preserves shape/dtype, and matches the batched
