@@ -65,9 +65,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "generator on every swapped crop (roofline-"
                         "walled at ~65 fps T=2, BENCH_EXTRA_r04.json); "
                         "srvgg_student = a distilled SRVGG student "
-                        "(cli/distill_enhancer output; 97.3 fps T=2 "
-                        "all-lanes-present). Student hyperparams are "
-                        "inferred from the --sr_path checkpoint shapes")
+                        "(cli/distill_enhancer output; 98.6 fps T=2 "
+                        "all-lanes-present, BENCH_EXTRA_r05.json). "
+                        "Student hyperparams are inferred from the "
+                        "--sr_path checkpoint shapes; without --sr_path "
+                        "the bundled round-5 weights are used "
+                        "(assets/srvgg_student_x2_r05.msgpack)")
     p.add_argument("--bf16", default=True, type=str2bool)
     p.add_argument("--allow_random_weights", default=False, type=str2bool,
                    help="run without checkpoints (smoke tests / demos)")
@@ -93,6 +96,19 @@ def build_parser() -> argparse.ArgumentParser:
                         "(the fast model its Dockerfile also ships) — "
                         "~40x fewer FLOPs/pixel")
     return p
+
+
+def bundled_student_ckpt() -> str | None:
+    """Path of the shipped round-5 seat-student weights
+    (assets/srvgg_student_x2_r05.msgpack, trained by
+    scripts/train_student_seat_r05.py on the video-crop corpus;
+    held-out metrics in docs/student_seat_r05.json), or None when
+    running from an installation without the repo assets tree."""
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))),
+        "assets", "srvgg_student_x2_r05.msgpack")
+    return path if os.path.exists(path) else None
 
 
 def build_enhancer(args, pipe):
@@ -263,8 +279,11 @@ def load_pipeline(args):
                 srvgg_from_variables,
             )
 
-            if args.sr_path:
-                sr_vars = load_msgpack(args.sr_path)
+            sr_path = args.sr_path or bundled_student_ckpt()
+            if sr_path:
+                if not args.sr_path:
+                    print(f"using bundled seat student: {sr_path}")
+                sr_vars = load_msgpack(sr_path)
                 student = srvgg_from_variables(sr_vars, policy=policy)
             else:
                 student = SRVGGNetCompact(num_feat=32, num_conv=16,
@@ -272,7 +291,7 @@ def load_pipeline(args):
                 sr_vars = student.init(
                     jax.random.key(0), jnp.zeros((1, 128, 128, 3)))
                 print("WARNING: random SR-student weights "
-                      "(--sr_path not given)")
+                      "(--sr_path not given, no bundled checkpoint)")
             sr = (SRVGGStudentSeat(student), sr_vars)
         else:
             from ghost_tpu.models.sr.generator import LIPSPADEGenerator

@@ -80,6 +80,13 @@ def detail_biased(cands, keep, rng=None):
     return [cands[i] for i in order[:keep]]
 
 
+def images_in_dir(rel=""):
+    d = os.path.join(IMAGES, rel)
+    return sorted(
+        os.path.join(rel, n) for n in os.listdir(d)
+        if n.lower().endswith((".jpg", ".jpeg", ".png")))
+
+
 def patches_from_images(names, per_image, rng):
     import cv2
 
@@ -134,16 +141,10 @@ def main():
                                                   make_enhancer_distill_step)
     from ghost_tpu.utils.quality import psnr
 
-    def images_in(rel=""):
-        d = os.path.join(IMAGES, rel)
-        return sorted(
-            os.path.join(rel, n) for n in os.listdir(d)
-            if n.lower().endswith((".jpg", ".jpeg", ".png")))
-
     rng = np.random.default_rng(0)
 
     # --- corpus -----------------------------------------------------------
-    names = images_in() + images_in("training")
+    names = images_in_dir() + images_in_dir("training")
     train_names = [n for n in names
                    if os.path.basename(n) not in HELD_OUT]
     portrait = patches_from_images(train_names, 64, rng)
