@@ -164,16 +164,39 @@ def _supervise(argv):
     import sys
 
     env = dict(os.environ, GHOST_TPU_TRAIN_WORKER="1")
-    # propagate the parent's jax platform to workers: a test/driver that
-    # forced CPU via jax.config (the only way that works under the
+    # propagate a parent-forced jax platform to workers: a test/driver
+    # that forced CPU via jax.config (the only way that works under the
     # force-registered TPU relay plugin — JAX_PLATFORMS env is ignored
-    # there) must not spawn children that silently grab the TPU
+    # there) must not spawn children that silently grab the TPU. Read
+    # the CONFIG value, never jax.default_backend(): default_backend()
+    # would initialize (and on exclusive-access TPU hosts, hold) the
+    # accelerator client in this long-lived supervisor process,
+    # starving every worker of the device.
     if "jax" in sys.modules:
-        env["GHOST_TPU_PLATFORM"] = sys.modules["jax"].default_backend()
-    cmd = [sys.executable, "-m", "ghost_tpu.cli.train"] + list(argv)
+        plat = getattr(sys.modules["jax"].config, "jax_platforms", None)
+        if plat:
+            env["GHOST_TPU_PLATFORM"] = plat
+    base_cmd = [sys.executable, "-m", "ghost_tpu.cli.train"] + list(argv)
+    # no-progress backstop: the chain needs exactly
+    # ceil(max_steps / max_steps_per_process) workers (+1 slack for a
+    # resume landing mid-slice); more means a worker is not advancing
+    # the checkpoint — fail loudly instead of spawning forever
+    a = build_parser().parse_args(argv)
+    max_workers = -(-a.max_steps // a.max_steps_per_process) + 1
     n = 0
     while True:
         n += 1
+        if n > max_workers:
+            sys.exit(f"train supervisor: worker #{n} exceeds the "
+                     f"{max_workers}-process budget for max_steps="
+                     f"{a.max_steps} — workers are not advancing the "
+                     "run checkpoint; aborting")
+        # workers after the first MUST resume the slice checkpoint even
+        # under --resume 0 (which only means "start the RUN fresh"):
+        # otherwise each worker would retrain steps 0..cap and re-exit
+        # _SLICE_RC forever. argparse last-occurrence-wins makes the
+        # trailing override safe whatever the user passed.
+        cmd = base_cmd if n == 1 else base_cmd + ["--resume", "1"]
         print(f"train supervisor: starting worker process #{n}",
               flush=True)
         rc = subprocess.call(cmd, env=env)

@@ -168,6 +168,21 @@ def mask_params_from_offset(offset):
     return 5.0, 5.0, 5.0, 2.0
 
 
+def mask_params_from_offset_traced(offset):
+    """Traced (vmap-able) twin of `mask_params_from_offset` — the SAME
+    threshold table as a `jnp.where` chain, for selecting per-face
+    params inside the fused swap program (pipeline/swap.py "auto"
+    mask_params). Single source for the on-device copies; parity with
+    the host version is asserted in tests/test_mask.py."""
+    return jnp.where(
+        offset > 6, jnp.asarray((15.0, 15.0, 10.0, 2.7)),
+        jnp.where(
+            offset > 3, jnp.asarray((10.0, 10.0, 8.0, 2.0)),
+            jnp.where(
+                offset < -3, jnp.asarray((-5.0, 5.0, 10.0, 0.5)),
+                jnp.asarray((5.0, 5.0, 5.0, 2.0)))))
+
+
 def face_mask_batch(landmarks, size: int = 224, params=(5.0, 5.0, 5.0, 2.0)):
     """Batched soft masks: (B,106,2) -> (B,H,W,1)."""
     erode, sx, sy, mod = params

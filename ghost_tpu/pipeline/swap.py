@@ -393,7 +393,9 @@ class SwapPipeline:
                     mask = face_mask_batch(lmks, cs, cfg.mask_params)
                 else:
                     from ghost_tpu.ops.mask import (
-                        mask_offset_from_landmarks, soft_face_mask_dynamic)
+                        mask_offset_from_landmarks,
+                        mask_params_from_offset_traced,
+                        soft_face_mask_dynamic)
 
                     if need_offsets:
                         both = jnp.concatenate(
@@ -407,19 +409,8 @@ class SwapPipeline:
                         lmks = landmarks_from_crops(
                             lmk_apply, variables["lmk"], swap224, cs)
                     if isinstance(mask_params, str):  # "auto"
-                        def sel(o):
-                            return jnp.where(
-                                o > 6,
-                                jnp.asarray((15.0, 15.0, 10.0, 2.7)),
-                                jnp.where(
-                                    o > 3,
-                                    jnp.asarray((10.0, 10.0, 8.0, 2.0)),
-                                    jnp.where(
-                                        o < -3,
-                                        jnp.asarray((-5.0, 5.0, 10.0, 0.5)),
-                                        jnp.asarray((5.0, 5.0, 5.0, 2.0)))))
-
-                        params_b = jax.vmap(sel)(offs_j)
+                        params_b = jax.vmap(
+                            mask_params_from_offset_traced)(offs_j)
                     else:
                         params_b = jnp.tile(
                             jnp.asarray(mask_params, jnp.float32)[j][None],
@@ -531,6 +522,7 @@ class SwapPipeline:
             mask = face_mask_batch(lmks, cs, self.cfg.mask_params)
         else:
             from ghost_tpu.ops.mask import (mask_offset_from_landmarks,
+                                            mask_params_from_offset_traced,
                                             soft_face_mask_dynamic)
 
             if need_offsets:
@@ -556,16 +548,8 @@ class SwapPipeline:
                 # on-device mask_params_from_offset (masks.py:49-76
                 # thresholds) — the reference's IMAGE path selects
                 # params from the image's own landmarks
-                def sel(o):
-                    return jnp.where(
-                        o > 6, jnp.asarray((15.0, 15.0, 10.0, 2.7)),
-                        jnp.where(
-                            o > 3, jnp.asarray((10.0, 10.0, 8.0, 2.0)),
-                            jnp.where(
-                                o < -3, jnp.asarray((-5.0, 5.0, 10.0, 0.5)),
-                                jnp.asarray((5.0, 5.0, 5.0, 2.0)))))
-
-                params_bt = jax.vmap(sel)(offsets.reshape(-1))
+                params_bt = jax.vmap(
+                    mask_params_from_offset_traced)(offsets.reshape(-1))
             else:
                 params_bt = jnp.tile(
                     jnp.asarray(mask_params, jnp.float32), (b, 1))  # (B*T,4)

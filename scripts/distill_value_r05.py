@@ -165,6 +165,10 @@ def main():
 
     train_hq = np.stack(portrait + video_train)
     test_hq = np.stack(patches_from_images(HELD_OUT, 16, rng))
+    # patches_from_images silently drops unreadable/small images; the
+    # per-image breakdown below slices test_hq by position, so a
+    # short-count here would misattribute metrics to the wrong names
+    assert len(test_hq) == 16 * len(HELD_OUT), test_hq.shape
     vhold_hq = np.stack(video_hold)
     log(f"train patches {train_hq.shape} ({len(portrait)} portrait + "
         f"{len(video_train)} video from {len(train_idx)} crops); "

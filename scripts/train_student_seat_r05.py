@@ -94,6 +94,7 @@ def main():
     video = patches_from_crops(crops, 3, rng)
     train_hq = np.stack(portrait + video)
     test_hq = np.stack(patches_from_images(HELD_OUT, 16, rng))
+    assert len(test_hq) == 16 * len(HELD_OUT), test_hq.shape
     log(f"train {train_hq.shape}, held-out {test_hq.shape}")
 
     policy = FULL_PRECISION if TINY else DEFAULT_POLICY

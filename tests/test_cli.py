@@ -133,6 +133,48 @@ def test_train_cli_max_steps_per_process(tmp_path, capsys):
     assert CheckpointManager(str(tmp_path / "run")).latest_step() == 3
 
 
+def test_train_cli_max_steps_per_process_resume_0(tmp_path, capsys):
+    """--resume 0 with --max_steps_per_process must still chain: resume
+    0 means 'start the RUN fresh', but workers after the first MUST
+    resume the slice checkpoint (the supervisor appends a trailing
+    --resume 1 override) — without it every worker would retrain steps
+    0..cap and the chain would never terminate (the supervisor's
+    no-progress backstop turns that into a loud abort)."""
+    import cv2
+
+    d = tmp_path / "faces"
+    d.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        cv2.imwrite(str(d / f"{i}.jpg"),
+                    rng.integers(0, 255, (64, 64, 3), dtype=np.uint8))
+
+    from ghost_tpu.cli.train import main
+
+    main([
+        "--dataset_path", str(d),
+        "--batch_size", "2",
+        "--max_steps", "4",
+        "--max_steps_per_process", "2",
+        "--resume", "0",
+        "--width", "0.0625",
+        "--arcface_depth", "tiny",
+        "--bf16", "",
+        "--num_blocks", "1",
+        "--num_workers", "1",
+        "--run_name", str(tmp_path / "run"),
+        "--save_interval", "100000",
+        "--show_step", "100000",
+        "--output_dir", str(tmp_path / "out"),
+    ])
+    out = capsys.readouterr().out
+    assert "done after 2 worker processes" in out
+
+    from ghost_tpu.core.checkpoint import CheckpointManager
+
+    assert CheckpointManager(str(tmp_path / "run")).latest_step() == 3
+
+
 def test_train_cli_slice_requires_total():
     from ghost_tpu.cli.train import main
 

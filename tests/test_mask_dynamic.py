@@ -95,3 +95,17 @@ def test_pipeline_per_shot_params_no_retrace():
         _np.asarray(rng.integers(0, 255, (1, 224, 224, 3), dtype=_np.uint8)),
         None, smooth=False)
     assert res.shape == frames.shape
+
+
+def test_mask_params_traced_matches_host():
+    """mask_params_from_offset_traced is the single on-device source for
+    the fused program's "auto" param selection (pipeline/swap.py uses it
+    in both the batched and lane-skip bodies); it must match the host
+    threshold table exactly, including at the boundaries."""
+    from ghost_tpu.ops.mask import mask_params_from_offset_traced
+
+    for off in (-5.0, -3.0, -2.9, 0.0, 3.0, 3.1, 4.5, 6.0, 6.1, 7.2):
+        host = np.asarray(mask_params_from_offset(off), np.float32)
+        traced = np.asarray(
+            mask_params_from_offset_traced(jnp.asarray(off, jnp.float32)))
+        assert np.array_equal(host, traced), off

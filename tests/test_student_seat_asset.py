@@ -28,6 +28,10 @@ HELD_OUT_IMG = "/root/reference/examples/images/beckham.jpg"
 pytestmark = pytest.mark.skipif(
     not os.path.exists(CKPT), reason="shipped seat checkpoint absent")
 
+needs_reference = pytest.mark.skipif(
+    not os.path.exists(HELD_OUT_IMG),
+    reason="reference example images not mounted")
+
 
 @pytest.fixture(scope="module")
 def seat():
@@ -65,6 +69,7 @@ def test_seat_contract_shape_and_range(seat):
     assert y.min() >= -1.0 - 1e-5 and y.max() <= 1.0 + 1e-5
 
 
+@needs_reference
 def test_shipped_weights_beat_bilinear_on_held_out(seat):
     """The committed weights restore a degraded held-out portrait better
     than bilinear x2 upscaling (the DISTILL_VALUE_r05 bar, applied to
